@@ -1,0 +1,29 @@
+from eigenpinns_tpu.geometry.mesh import (
+    TriMesh,
+    load_obj,
+    save_obj,
+    load_mesh,
+    normalize_mesh,
+)
+from eigenpinns_tpu.geometry.fem import (
+    triangle_geometry,
+    element_stiffness,
+    element_mass,
+    assemble_coo,
+    assemble_stiffness_mass,
+    gradient_operator,
+)
+from eigenpinns_tpu.geometry.point_cloud import (
+    point_cloud_laplacian,
+    mesh_laplacian,
+    local_triangulations,
+    cotan_laplacian_from_soup,
+)
+
+__all__ = [
+    "TriMesh", "load_obj", "save_obj", "load_mesh", "normalize_mesh",
+    "triangle_geometry", "element_stiffness", "element_mass",
+    "assemble_coo", "assemble_stiffness_mass", "gradient_operator",
+    "point_cloud_laplacian", "mesh_laplacian", "local_triangulations",
+    "cotan_laplacian_from_soup",
+]

@@ -1,0 +1,120 @@
+"""Geometry layer tests: OBJ IO, normalization, FEM assembly, point-cloud
+Laplacian. Oracles are scipy/ARPACK on the same discretization, the test
+strategy of the reference (SURVEY.md section 4)."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+from scipy.sparse.linalg import eigsh
+
+from eigenpinns_tpu.geometry import (
+    TriMesh,
+    assemble_stiffness_mass,
+    load_mesh,
+    load_obj,
+    normalize_mesh,
+    point_cloud_laplacian,
+    mesh_laplacian,
+)
+
+
+def test_load_bunny_counts(bunny_mesh):
+    # Counts recorded in SURVEY.md section 2.2 data assets.
+    assert bunny_mesh.n_verts == 2503
+    assert bunny_mesh.n_faces == 4968
+
+
+def test_normalize_mesh_semantics():
+    rng = np.random.default_rng(1)
+    verts = rng.normal(size=(50, 3)) * np.array([3.0, 1.0, 0.5]) + 7.0
+    faces = np.array([[0, 1, 2]])
+    m = normalize_mesh(TriMesh(verts, faces))
+    assert np.allclose(m.verts.mean(0), 0.0, atol=1e-12)
+    assert np.isclose(m.verts.std(0).max(), 1.0, rtol=1e-9)
+
+
+def test_fem_assembly_properties(coarse1_mesh):
+    K, M = assemble_stiffness_mass(coarse1_mesh)
+    n = coarse1_mesh.n_verts
+    assert K.shape == (n, n) and M.shape == (n, n)
+    # Symmetry.
+    assert abs(K - K.T).max() < 1e-10
+    assert abs(M - M.T).max() < 1e-10
+    # Constant function in nullspace of K (closed surface): K @ 1 = 0.
+    ones = np.ones(n)
+    assert np.abs(K @ ones).max() < 1e-9
+    # Total mass equals 2x surface area (reference's J=2A mass convention,
+    # src/Mesh.py:230-234).
+    total_area = coarse1_mesh.face_areas().sum()
+    assert np.isclose(ones @ (M @ ones), 2.0 * total_area, rtol=1e-10)
+    # K PSD: smallest eigenvalues nonnegative.
+    vals = eigsh(K, k=3, M=M, sigma=-0.01, which="LM")[0]
+    assert vals.min() > -1e-8
+
+
+def test_fem_matches_cotan_laplacian(coarse1_mesh):
+    """P1 FEM stiffness is the cotan Laplacian (classical identity)."""
+    K, _ = assemble_stiffness_mass(coarse1_mesh)
+    L, _ = mesh_laplacian(coarse1_mesh.verts, coarse1_mesh.faces)
+    assert abs(K - L).max() < 1e-8
+
+
+def test_fem_jax_matches_numpy(coarse1_mesh):
+    import jax.numpy as jnp
+
+    from eigenpinns_tpu.geometry import assemble_coo
+
+    rows, cols, k_vals, m_vals = assemble_coo(
+        jnp.asarray(coarse1_mesh.verts, dtype=jnp.float32),
+        jnp.asarray(coarse1_mesh.faces),
+    )
+    n = coarse1_mesh.n_verts
+    K32 = sp.coo_matrix(
+        (np.asarray(k_vals), (np.asarray(rows), np.asarray(cols))),
+        shape=(n, n),
+    ).tocsr()
+    K64, _ = assemble_stiffness_mass(coarse1_mesh)
+    denom = max(abs(K64).max(), 1.0)
+    assert abs(K32 - K64).max() / denom < 1e-5
+
+
+def test_lumped_mass(coarse1_mesh):
+    _, Mc = assemble_stiffness_mass(coarse1_mesh, lumped=False)
+    _, Ml = assemble_stiffness_mass(coarse1_mesh, lumped=True)
+    # Lumping preserves total mass and is diagonal.
+    assert np.isclose(Mc.sum(), Ml.sum(), rtol=1e-12)
+    assert (Ml - sp.diags(Ml.diagonal())).nnz == 0
+
+
+def test_point_cloud_laplacian_properties(rng):
+    # Unit sphere cloud: smooth closed surface.
+    x = rng.normal(size=(400, 3))
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    L, M = point_cloud_laplacian(x)
+    assert abs(L - L.T).max() < 1e-10
+    assert (M - sp.diags(M.diagonal())).nnz == 0
+    assert M.diagonal().min() > 0
+    # Weak Laplacian annihilates constants.
+    ones = np.ones(400)
+    assert np.abs(L @ ones).max() < 1e-9
+    # Sphere spectrum: lambda_k = l(l+1) with multiplicity 2l+1 -> first
+    # nonzero triple near 2.
+    vals = eigsh(L, k=6, M=M, sigma=-0.01, which="LM")[0]
+    assert abs(vals[0]) < 1e-6
+    assert np.allclose(vals[1:4], 2.0, rtol=0.15)
+
+
+@pytest.mark.slow
+def test_bunny_ground_truth_eigenvalues(bunny_mesh):
+    """Compare with the reference's recorded robust-Laplacian bunny spectrum
+    (BASELINE.md: [0, 0.288, 0.722, 0.842, 1.039, 1.202, ...])."""
+    L, M = point_cloud_laplacian(bunny_mesh.verts)
+    vals = eigsh(L, k=10, M=M, sigma=-0.01, which="LM")[0]
+    expected = np.array(
+        [0.0, 0.288, 0.722, 0.842, 1.039, 1.202, 1.762, 2.600, 2.923, 2.973]
+    )
+    assert abs(vals[0]) < 1e-6
+    rel = np.abs(vals[1:] - expected[1:]) / expected[1:]
+    # Local-triangulation variant (no intrinsic Delaunay flips) -> allow a
+    # modest discretization gap vs the C++ robust_laplacian values.
+    assert rel.max() < 0.10, f"rel errors {rel}"
