@@ -1,0 +1,26 @@
+from eigenpinns_tpu.solvers.rayleigh_ritz import (
+    eigh_generalized,
+    filtered_whiten,
+    rayleigh_ritz,
+    rayleigh_ritz_robust,
+)
+from eigenpinns_tpu.solvers.lobpcg import lobpcg, lobpcg_from_random, LobpcgResult
+from eigenpinns_tpu.solvers.smoothers import (
+    jacobi_smooth,
+    cg_solve,
+    coarse_grid_correction,
+)
+from eigenpinns_tpu.solvers.oracle import (
+    eigsh_smallest,
+    solve_eigenvalue_point_cloud,
+    solve_eigenvalue_mesh,
+    orthonormalize_gs,
+)
+
+__all__ = [
+    "eigh_generalized", "filtered_whiten", "rayleigh_ritz",
+    "rayleigh_ritz_robust", "lobpcg", "lobpcg_from_random", "LobpcgResult",
+    "jacobi_smooth", "cg_solve", "coarse_grid_correction",
+    "eigsh_smallest", "solve_eigenvalue_point_cloud", "solve_eigenvalue_mesh",
+    "orthonormalize_gs",
+]

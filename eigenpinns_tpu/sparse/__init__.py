@@ -1,0 +1,22 @@
+from eigenpinns_tpu.sparse.formats import SparseELL, Diagonal, as_operator
+from eigenpinns_tpu.sparse.ops import (
+    hdot,
+    spmm,
+    spmv,
+    gram,
+    m_gram,
+    rayleigh_quotients,
+    m_normalize_columns,
+    normalize_columns,
+    residual,
+    block_diag_ell,
+    gcn_normalized_adjacency,
+    neighbor_mean,
+)
+
+__all__ = [
+    "SparseELL", "Diagonal", "as_operator",
+    "hdot", "spmm", "spmv", "gram", "m_gram", "rayleigh_quotients",
+    "m_normalize_columns", "normalize_columns", "residual",
+    "block_diag_ell", "gcn_normalized_adjacency", "neighbor_mean",
+]

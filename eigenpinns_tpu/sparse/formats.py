@@ -1,0 +1,141 @@
+"""TPU-friendly sparse matrix containers (JAX pytrees).
+
+The reference's hot ops are sparse K@U / M@U products done with
+`torch.sparse.mm` COO kernels (`src/multigrid_model.py:306-321`), with a
+per-epoch scipy->torch conversion bug noted in SURVEY.md section 3.1. On
+TPU, scattered COO SpMV maps poorly onto the MXU/VPU; instead we
+preprocess every operator ONCE (host-side) into a padded row-major
+"ELL" layout:
+
+    indices: (N, W) int32   column index of each stored entry (pad: 0)
+    values:  (N, W) float   entry value                        (pad: 0.0)
+
+with W = max row degree rounded up to a multiple of 8 (sublane size).
+SpMM then becomes a dense gather + weighted reduction over W — static
+shapes, fully fusable by XLA, and amenable to a Pallas kernel
+(`eigenpinns_tpu.sparse.pallas_kernels`) when N*k is large.
+
+Mesh/cloud Laplacians have near-uniform row degree (kNN graphs: exactly
+k+1; FEM: valence ~7), so padding waste is small.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class SparseELL:
+    """Padded row-major sparse matrix (ELLPACK)."""
+
+    indices: Any  # (N, W) int32
+    values: Any   # (N, W) float
+    n_cols: int   # static
+
+    def tree_flatten(self):
+        return (self.indices, self.values), (self.n_cols,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], aux[0])
+
+    @property
+    def shape(self):
+        return (self.indices.shape[0], self.n_cols)
+
+    @property
+    def width(self) -> int:
+        return self.indices.shape[1]
+
+    @classmethod
+    def from_scipy(cls, A, dtype=jnp.float32, pad_multiple: int = 8):
+        """Canonicalize any scipy sparse matrix into ELL (host-side, once)."""
+        A = A.tocsr()
+        A.sum_duplicates()
+        n, m = A.shape
+        deg = np.diff(A.indptr)
+        w = max(_round_up(int(deg.max()) if n else 1, pad_multiple),
+                pad_multiple)
+        indices = np.zeros((n, w), dtype=np.int32)
+        values = np.zeros((n, w), dtype=np.float64)
+        for i in range(n):
+            lo, hi = A.indptr[i], A.indptr[i + 1]
+            indices[i, : hi - lo] = A.indices[lo:hi]
+            values[i, : hi - lo] = A.data[lo:hi]
+        return cls(jnp.asarray(indices), jnp.asarray(values, dtype=dtype), m)
+
+    def to_scipy(self):
+        import scipy.sparse as sp
+
+        n, w = self.indices.shape
+        rows = np.repeat(np.arange(n), w)
+        A = sp.coo_matrix(
+            (np.asarray(self.values, dtype=np.float64).reshape(-1),
+             (rows, np.asarray(self.indices).reshape(-1))),
+            shape=self.shape,
+        ).tocsr()
+        A.sum_duplicates()
+        # Padding contributed explicit zeros in column 0; prune them.
+        A.eliminate_zeros()
+        return A
+
+    def diagonal(self) -> jax.Array:
+        n = self.indices.shape[0]
+        row_ids = jnp.arange(n)[:, None]
+        mask = self.indices == row_ids
+        return jnp.sum(jnp.where(mask, self.values, 0.0), axis=1)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class Diagonal:
+    """Diagonal operator (lumped mass matrices)."""
+
+    diag: Any  # (N,)
+
+    def tree_flatten(self):
+        return (self.diag,), ()
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0])
+
+    @property
+    def shape(self):
+        n = self.diag.shape[0]
+        return (n, n)
+
+    @classmethod
+    def from_scipy(cls, A, dtype=jnp.float32):
+        return cls(jnp.asarray(A.diagonal(), dtype=dtype))
+
+    def to_scipy(self):
+        import scipy.sparse as sp
+
+        return sp.diags(np.asarray(self.diag, dtype=np.float64)).tocsr()
+
+    def diagonal(self) -> jax.Array:
+        return self.diag
+
+
+def as_operator(A, dtype=jnp.float32, pad_multiple: int = 8):
+    """scipy sparse -> Diagonal if (numerically) diagonal, else SparseELL."""
+    import scipy.sparse as sp
+
+    if sp.issparse(A):
+        if A.shape[0] == A.shape[1]:
+            offdiag = (A - sp.diags(A.diagonal())).tocsr()
+            if offdiag.nnz == 0 or abs(offdiag).max() == 0.0:
+                return Diagonal.from_scipy(A, dtype=dtype)
+        return SparseELL.from_scipy(A, dtype=dtype, pad_multiple=pad_multiple)
+    raise TypeError(f"expected scipy sparse, got {type(A)}")

@@ -1,0 +1,156 @@
+"""Core sparse linear algebra on TPU: SpMM, Gram reductions, block structure.
+
+Replaces the reference's torch.sparse COO products
+(`src/multigrid_model.py:306-322`, `src/utils.py:14-20,127-165`) with
+XLA-friendly gather/reduce formulations over the padded-ELL layout, plus
+MXU matmuls for the k x k Gram/Rayleigh reductions. Everything here is
+jit-safe and differentiable.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from eigenpinns_tpu.sparse.formats import Diagonal, SparseELL
+
+
+def hdot(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Full-f32 matmul. TPU MXU matmuls default to bf16 input rounding,
+    which is fatal for orthogonalization/Gram arithmetic (observed: LOBPCG
+    diverging on-chip while bit-identical code converged on CPU). All
+    numerically sensitive products route through here."""
+    return jnp.dot(a, b, precision=jax.lax.Precision.HIGHEST,
+                   preferred_element_type=jnp.float32).astype(a.dtype)
+
+
+def spmm(A, U: jax.Array) -> jax.Array:
+    """A @ U for A in {SparseELL, Diagonal}, U: (N, k) dense.
+
+    ELL path: gather U rows by the padded column indices and contract the
+    width axis — `(N, W, k) * (N, W, 1) -> (N, k)`. Static shapes, no
+    scatter; XLA fuses the gather with the reduction.
+    """
+    if isinstance(A, Diagonal):
+        return A.diag[:, None] * U
+    if isinstance(A, SparseELL):
+        gathered = U[A.indices]           # (N, W, k)
+        return jnp.einsum(
+            "nwk,nw->nk", gathered, A.values,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        ).astype(U.dtype)
+    raise TypeError(f"unsupported operator {type(A)}")
+
+
+def spmv(A, u: jax.Array) -> jax.Array:
+    """A @ u for a single vector (N,)."""
+    return spmm(A, u[:, None])[:, 0]
+
+
+def gram(U: jax.Array, V: jax.Array) -> jax.Array:
+    """U^T V (k x k), full f32 (see `hdot`)."""
+    return hdot(U.T, V)
+
+
+def m_gram(U: jax.Array, M) -> jax.Array:
+    """U^T M U — the M-inner-product Gram matrix (reference's
+    orthonormality core, `src/multigrid_model.py:320-322`)."""
+    return gram(U, spmm(M, U))
+
+
+def rayleigh_quotients(U: jax.Array, K, M, eps: float = 1e-12) -> jax.Array:
+    """Per-mode Rayleigh quotients diag(U^T K U) / diag(U^T M U)
+    (src/multigrid_model.py:309-311)."""
+    Ku = spmm(K, U)
+    Mu = spmm(M, U)
+    num = jnp.sum(U * Ku, axis=0)
+    den = jnp.sum(U * Mu, axis=0)
+    return num / (den + eps)
+
+
+def m_normalize_columns(U: jax.Array, M, eps: float = 1e-12) -> jax.Array:
+    """Normalize each column to unit M-norm (src/multigrid_model.py:120-130)."""
+    Mu = spmm(M, U)
+    norms = jnp.sqrt(jnp.sum(U * Mu, axis=0) + eps)
+    return U / norms[None, :]
+
+
+def normalize_columns(U: jax.Array, eps: float = 1e-12):
+    """Euclidean column normalization (src/utils.py:23-32)."""
+    norms = jnp.linalg.norm(U, axis=0) + eps
+    return U / norms, norms
+
+
+def residual(U: jax.Array, K, M, lam: jax.Array) -> jax.Array:
+    """Eigen-residual K U - M U diag(lam), shape (N, k)."""
+    return spmm(K, U) - spmm(M, U) * lam[None, :]
+
+
+def block_diag_ell(ops: list) -> SparseELL:
+    """Stack per-level operators into one block-diagonal SparseELL — the
+    TPU analog of `utils.sparse_block_diag` (src/utils.py:127-165).
+
+    All levels share one SpMM over the concatenated node axis; column
+    indices are offset so each block only gathers within its own span.
+    """
+    mats = []
+    for A in ops:
+        if isinstance(A, Diagonal):
+            n = A.diag.shape[0]
+            A = SparseELL(
+                jnp.arange(n, dtype=jnp.int32)[:, None],
+                A.diag[:, None],
+                n,
+            )
+        mats.append(A)
+    width = max(A.width for A in mats)
+    n_cols = sum(A.n_cols for A in mats)
+    idx_blocks, val_blocks = [], []
+    offset = 0
+    for A in mats:
+        pad = width - A.width
+        idx = jnp.pad(A.indices, ((0, 0), (0, pad))) + offset
+        val = jnp.pad(A.values, ((0, 0), (0, pad)))
+        # Padded entries must stay inside this block: they carry value 0,
+        # so pointing them at the block's first column is safe.
+        idx_blocks.append(jnp.where(val != 0, idx, offset))
+        val_blocks.append(val)
+        offset += A.n_cols
+    return SparseELL(
+        jnp.concatenate(idx_blocks, axis=0),
+        jnp.concatenate(val_blocks, axis=0),
+        n_cols,
+    )
+
+
+def gcn_normalized_adjacency(edge_index, n_nodes: int) -> SparseELL:
+    """D^{-1/2} (A + I) D^{-1/2} as SparseELL — the SpectralCorrector's
+    aggregation operator (src/utils.py:78-124). Host-side build."""
+    import numpy as np
+    import scipy.sparse as sp
+
+    e = np.asarray(edge_index)
+    ones = np.ones(e.shape[1])
+    A = sp.coo_matrix((ones, (e[0], e[1])), shape=(n_nodes, n_nodes))
+    A = (A + sp.eye(n_nodes)).tocsr()
+    A.sum_duplicates()
+    A.data[:] = 1.0  # A+I with binarized duplicates, matching coalesce()
+    deg = np.asarray(A.sum(axis=1)).ravel()
+    d = 1.0 / np.sqrt(np.clip(deg, 1e-12, None))
+    A = sp.diags(d) @ A @ sp.diags(d)
+    return SparseELL.from_scipy(A)
+
+
+def neighbor_mean(edge_index: jax.Array, x: jax.Array) -> jax.Array:
+    """Mean over in-neighbors: agg[i] = mean_{(i,j) in E} x[j].
+
+    Segment-sum formulation of the reference SimpleCorrector aggregation
+    (`src/corrector_model.py:23-31`: index_add_ over rows + bincount).
+    """
+    row, col = edge_index[0], edge_index[1]
+    n = x.shape[0]
+    agg = jax.ops.segment_sum(x[col], row, num_segments=n)
+    deg = jax.ops.segment_sum(jnp.ones_like(row, dtype=x.dtype), row,
+                              num_segments=n)
+    return agg / jnp.clip(deg, 1.0)[:, None]

@@ -1,0 +1,102 @@
+"""Sparse format and op tests against scipy dense references."""
+
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+from eigenpinns_tpu.sparse import (
+    Diagonal,
+    SparseELL,
+    as_operator,
+    block_diag_ell,
+    gcn_normalized_adjacency,
+    m_gram,
+    m_normalize_columns,
+    neighbor_mean,
+    rayleigh_quotients,
+    spmm,
+)
+
+
+def random_sparse(rng, n, m, density=0.05):
+    A = sp.random(n, m, density=density, random_state=np.random.RandomState(0))
+    return A.tocsr()
+
+
+def test_ell_roundtrip(rng):
+    A = random_sparse(rng, 40, 40)
+    E = SparseELL.from_scipy(A)
+    assert abs(E.to_scipy() - A).max() < 1e-7
+
+
+def test_spmm_matches_scipy(rng):
+    A = random_sparse(rng, 50, 30)
+    E = SparseELL.from_scipy(A)
+    U = rng.normal(size=(30, 7)).astype(np.float32)
+    out = np.asarray(spmm(E, jnp.asarray(U)))
+    ref = A @ U
+    assert np.abs(out - ref).max() < 1e-5
+
+
+def test_diagonal_op(rng):
+    d = rng.uniform(1, 2, size=20)
+    D = as_operator(sp.diags(d))
+    assert isinstance(D, Diagonal)
+    U = rng.normal(size=(20, 3)).astype(np.float32)
+    assert np.allclose(np.asarray(spmm(D, jnp.asarray(U))), d[:, None] * U,
+                       rtol=1e-6)
+
+
+def test_gram_and_normalize(rng):
+    n, k = 30, 4
+    M = sp.diags(rng.uniform(0.5, 2, size=n)).tocsr()
+    Mop = as_operator(M)
+    U = jnp.asarray(rng.normal(size=(n, k)).astype(np.float32))
+    G = np.asarray(m_gram(U, Mop))
+    ref = np.asarray(U).T @ (M @ np.asarray(U))
+    assert np.abs(G - ref).max() < 1e-4
+    Un = m_normalize_columns(U, Mop)
+    Gn = np.asarray(m_gram(Un, Mop))
+    assert np.allclose(np.diag(Gn), 1.0, atol=1e-5)
+
+
+def test_rayleigh_quotients(rng):
+    n = 25
+    A = random_sparse(rng, n, n)
+    K = (A + A.T).tocsr()
+    M = sp.diags(rng.uniform(0.5, 2, size=n)).tocsr()
+    U = rng.normal(size=(n, 3)).astype(np.float32)
+    lam = np.asarray(
+        rayleigh_quotients(jnp.asarray(U), as_operator(K), as_operator(M)))
+    Un = np.asarray(U, dtype=np.float64)
+    ref = np.diag(Un.T @ (K @ Un)) / np.diag(Un.T @ (M @ Un))
+    assert np.abs(lam - ref).max() < 1e-4
+
+
+def test_block_diag(rng):
+    A1 = random_sparse(rng, 10, 10)
+    A2 = sp.diags(rng.uniform(1, 2, size=6)).tocsr()
+    B = block_diag_ell([as_operator(A1), as_operator(A2)])
+    ref = sp.block_diag([A1, A2]).tocsr()
+    U = rng.normal(size=(16, 3)).astype(np.float32)
+    out = np.asarray(spmm(B, jnp.asarray(U)))
+    assert np.abs(out - ref @ U).max() < 1e-5
+
+
+def test_gcn_adjacency(rng):
+    edges = np.array([[0, 1, 1, 2, 2, 0], [1, 0, 2, 1, 0, 2]])
+    A = gcn_normalized_adjacency(edges, 4)
+    dense = A.to_scipy().toarray()
+    # Row/col symmetric, self loops present, isolated node 3 has only itself.
+    assert np.allclose(dense, dense.T, atol=1e-6)
+    assert dense[3, 3] > 0
+    # Known normalization: fully-connected triangle + self loops -> 1/3.
+    assert np.allclose(dense[:3, :3], 1 / 3, atol=1e-6)
+
+
+def test_neighbor_mean(rng):
+    # Graph: 0->{1,2}, 1->{0}, node 2 no out-edges (degree clamp).
+    edge_index = jnp.asarray(np.array([[0, 0, 1], [1, 2, 0]]))
+    x = jnp.asarray(np.array([[1.0], [2.0], [4.0]], dtype=np.float32))
+    agg = np.asarray(neighbor_mean(edge_index, x))
+    assert np.allclose(agg[:, 0], [3.0, 1.0, 0.0], atol=1e-6)
