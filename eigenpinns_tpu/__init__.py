@@ -24,3 +24,67 @@ configs      YAML config system mirroring the reference's parameters.yml
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+
+def _enable_persistent_compile_cache() -> None:
+    """Persist XLA compilations across processes.
+
+    TPU (re)compilation dominates wall-time for the many small preprocessing
+    kernels (measured: bunny hierarchy build 436s cold vs 1.5s of actual
+    compute); the persistent cache makes every run after the first pay only
+    compute. Opt out with EIGENPINNS_NO_COMPILE_CACHE=1 or redirect with
+    EIGENPINNS_COMPILE_CACHE=<dir>.
+    """
+    if _os.environ.get("EIGENPINNS_NO_COMPILE_CACHE") == "1":
+        return
+    cache_dir = _os.environ.get(
+        "EIGENPINNS_COMPILE_CACHE",
+        _os.path.join(_os.path.expanduser("~"), ".cache", "eigenpinns_jax"),
+    )
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:  # pragma: no cover - older jax or read-only fs
+        pass
+
+
+_enable_persistent_compile_cache()
+
+
+def _warmup_transfer_async() -> None:
+    """Pay the platform's first device->host transfer toll off-thread.
+
+    On the tunneled TPU platform used here, the FIRST d2h readback in a
+    process blocks for ~2 minutes (relay handshake); every subsequent
+    transfer is milliseconds. A daemon thread moves one scalar back from
+    the device at import time so the toll overlaps with host-side
+    preprocessing instead of stalling the first loss readback. Opt out
+    with EIGENPINNS_NO_WARMUP=1.
+    """
+    if _os.environ.get("EIGENPINNS_NO_WARMUP") == "1":
+        return
+
+    def _warm():
+        try:
+            import numpy as np
+            import jax
+            import jax.numpy as jnp
+
+            if jax.default_backend() == "cpu":
+                return
+            np.asarray(jnp.zeros((1,)))
+        except Exception:
+            pass
+
+    import threading
+
+    threading.Thread(target=_warm, name="eigenpinns-d2h-warmup",
+                     daemon=True).start()
+
+
+_warmup_transfer_async()

@@ -1,0 +1,167 @@
+"""Multiresolution hierarchy builder — the framework's `Sampler`.
+
+Capability parity with `src/samplers.py:188-286`: given a mesh and a
+hierarchy of target sizes, build per-level point sets X, operators (K, M),
+kNN/connectivity edge lists, prolongations P, and smoothed initial
+eigenvector guesses U. Differences from the reference, by design:
+
+  * operators are canonicalized ONCE into TPU-friendly formats
+    (SparseELL / Diagonal) — the reference reconverted scipy->torch every
+    epoch (src/multigrid_model.py:306-307, the known hot-loop bug);
+  * the coarsest-level exact solve can run on device (LOBPCG) or host
+    (ARPACK oracle);
+  * prolongation smoothing (Jacobi) runs on device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax.numpy as jnp
+import numpy as np
+
+from eigenpinns_tpu.geometry import TriMesh, assemble_stiffness_mass
+from eigenpinns_tpu.geometry.point_cloud import point_cloud_laplacian
+from eigenpinns_tpu.sampling.decimation import decimation_levels
+from eigenpinns_tpu.sampling.knn import knn_graph, prolongation_matrix
+from eigenpinns_tpu.sampling.samplers import (
+    farthest_point_levels,
+    random_levels,
+    voxel_levels,
+)
+from eigenpinns_tpu.sparse import as_operator
+from eigenpinns_tpu.solvers import jacobi_smooth, lobpcg_from_random
+from eigenpinns_tpu.solvers.oracle import eigsh_smallest
+
+SAMPLER_TYPES = ("farthest_point", "voxel_downsampling", "graph_coarsening",
+                 "random")
+EDGE_TYPES = ("knn_based", "connectivity_based")
+COARSE_SOLVERS = ("eigsh", "lobpcg")
+
+
+@dataclasses.dataclass
+class Hierarchy:
+    """Preprocessed multiresolution problem, ready for on-device training."""
+
+    X_list: list[np.ndarray]          # per-level coordinates (host f64)
+    K_ops: list[Any]                  # per-level stiffness (SparseELL)
+    M_ops: list[Any]                  # per-level mass (SparseELL/Diagonal)
+    K_scipy: list[Any]                # host-side canonical operators
+    M_scipy: list[Any]
+    P_ops: list[Any]                  # prolongations level l-1 -> l
+    Pt_ops: list[Any]                 # their transposes
+    U_list: list[Any]                 # initial eigvec guesses (jax, f32)
+    edge_index_list: list[np.ndarray]
+    actual_hierarchy: list[int]
+    meshes: list[TriMesh]
+    indices_per_level: list[np.ndarray]
+    coarse_eigenvalues: np.ndarray
+
+    @property
+    def n_levels(self) -> int:
+        return len(self.X_list)
+
+    @property
+    def node_offsets(self) -> list[int]:
+        """Cumulative offsets of levels in the concatenated node axis
+        (src/multigrid_model.py:95-97)."""
+        sizes = [x.shape[0] for x in self.X_list]
+        return [0] + list(np.cumsum(sizes[:-1]))
+
+
+def build_hierarchy(
+    mesh: TriMesh,
+    hierarchy: list[int],
+    n_modes: int,
+    sampler_type: str = "farthest_point",
+    edge_computation_type: str = "knn_based",
+    k_neighbors: int = 21,
+    prolongation_neighbors: int = 21,
+    pc_neighbors: int = 30,
+    coarse_solver: str = "eigsh",
+    jacobi_alpha: float = 0.1,
+    jacobi_iters: int = 10,
+    seed: int = 0,
+    dtype=jnp.float32,
+) -> Hierarchy:
+    """Build the full multiresolution problem (Sampler.preprocess_mesh
+    parity, src/samplers.py:283-286)."""
+    if sampler_type not in SAMPLER_TYPES:
+        raise ValueError(
+            f"sampler_type must be one of {SAMPLER_TYPES}, got "
+            f"'{sampler_type}'")
+    if edge_computation_type not in EDGE_TYPES:
+        edge_computation_type = "knn_based"  # reference fallback behavior
+    if coarse_solver not in COARSE_SOLVERS:
+        raise ValueError(f"coarse_solver must be one of {COARSE_SOLVERS}")
+
+    X_list, K_sp, M_sp, meshes, indices = [], [], [], [], []
+
+    if sampler_type == "graph_coarsening":
+        meshes = decimation_levels(mesh, hierarchy)
+        for m in meshes:
+            K, M = assemble_stiffness_mass(m)
+            X_list.append(m.verts)
+            K_sp.append(K)
+            M_sp.append(M)
+    else:
+        if sampler_type == "farthest_point":
+            indices = farthest_point_levels(mesh.verts, hierarchy, seed=seed)
+        elif sampler_type == "voxel_downsampling":
+            indices = voxel_levels(mesh.verts, hierarchy)
+        else:
+            indices = random_levels(mesh.verts, hierarchy, seed=seed)
+        meshes = [mesh]
+        for idx in indices:
+            X = mesh.verts[idx]
+            L, M = point_cloud_laplacian(X, n_neighbors=pc_neighbors)
+            X_list.append(X)
+            K_sp.append(L)
+            M_sp.append(M)
+
+    actual = [x.shape[0] for x in X_list]
+
+    # Edge lists.
+    edge_index_list = []
+    if (sampler_type == "graph_coarsening"
+            and edge_computation_type == "connectivity_based"):
+        edge_index_list = [m.edges(directed=True) for m in meshes]
+    else:
+        edge_index_list = [knn_graph(X, k=k_neighbors) for X in X_list]
+
+    # Canonical device operators (built once — see module docstring).
+    K_ops = [as_operator(K, dtype=dtype) for K in K_sp]
+    M_ops = [as_operator(M, dtype=dtype) for M in M_sp]
+
+    # Coarsest-level exact solve.
+    if coarse_solver == "eigsh":
+        vals0, U0 = eigsh_smallest(K_sp[0], M_sp[0], n_modes)
+    else:
+        res = lobpcg_from_random(K_ops[0], M_ops[0], n_modes,
+                                 max_iter=400, tol=1e-6, dtype=dtype)
+        vals0 = np.asarray(res.eigenvalues, dtype=np.float64)
+        U0 = np.asarray(res.eigenvectors, dtype=np.float64)
+
+    # Prolongations + smoothed initial guesses (src/samplers.py:264-281).
+    P_ops, Pt_ops, U_list = [], [], [jnp.asarray(U0, dtype=dtype)]
+    U_prev = U0
+    for level in range(1, len(X_list)):
+        P = prolongation_matrix(X_list[level - 1], X_list[level],
+                                k=prolongation_neighbors).tocsr()
+        P_ops.append(as_operator(P, dtype=dtype))
+        Pt_ops.append(as_operator(P.T.tocsr(), dtype=dtype))
+        U_init = jnp.asarray(P @ U_prev, dtype=dtype)
+        U_init = jacobi_smooth(M_ops[level], K_ops[level], U_init,
+                               alpha=jacobi_alpha, n_iters=jacobi_iters)
+        U_list.append(U_init)
+        U_prev = np.asarray(U_init, dtype=np.float64)
+
+    return Hierarchy(
+        X_list=X_list, K_ops=K_ops, M_ops=M_ops,
+        K_scipy=K_sp, M_scipy=M_sp,
+        P_ops=P_ops, Pt_ops=Pt_ops, U_list=U_list,
+        edge_index_list=edge_index_list, actual_hierarchy=actual,
+        meshes=meshes, indices_per_level=list(indices),
+        coarse_eigenvalues=np.asarray(vals0),
+    )
