@@ -39,6 +39,14 @@ def _enable_persistent_compile_cache() -> None:
     """
     if _os.environ.get("EIGENPINNS_NO_COMPILE_CACHE") == "1":
         return
+    # TPU-only: persistent CPU AOT entries are keyed loosely enough that a
+    # cache written on a different host machine type gets loaded with
+    # "could lead to execution errors such as SIGILL" warnings and visibly
+    # different numerics. The cache exists to absorb the tunneled TPU's
+    # slow remote compiles; CPU compiles are fast anyway.
+    platforms = _os.environ.get("JAX_PLATFORMS", "")
+    if not any(p in platforms for p in ("tpu", "axon")):
+        return
     cache_dir = _os.environ.get(
         "EIGENPINNS_COMPILE_CACHE",
         _os.path.join(_os.path.expanduser("~"), ".cache", "eigenpinns_jax"),
@@ -56,18 +64,28 @@ def _enable_persistent_compile_cache() -> None:
 _enable_persistent_compile_cache()
 
 
-def _warmup_transfer_async() -> None:
+_WARMUP_STARTED = False
+
+
+def warmup_transfer_async() -> None:
     """Pay the platform's first device->host transfer toll off-thread.
 
     On the tunneled TPU platform used here, the FIRST d2h readback in a
     process blocks for ~2 minutes (relay handshake); every subsequent
     transfer is milliseconds. A daemon thread moves one scalar back from
-    the device at import time so the toll overlaps with host-side
-    preprocessing instead of stalling the first loss readback. Opt out
-    with EIGENPINNS_NO_WARMUP=1.
+    the device so the toll overlaps with host-side preprocessing instead
+    of stalling the first loss readback.
+
+    Called lazily from long-running entry points (hierarchy build,
+    trainers, bench) rather than at import: a short-lived process whose
+    interpreter exits while the warmup transfer is in flight aborts in
+    the PJRT teardown, so only flows that will transfer anyway start it.
+    Opt out with EIGENPINNS_NO_WARMUP=1. Idempotent.
     """
-    if _os.environ.get("EIGENPINNS_NO_WARMUP") == "1":
+    global _WARMUP_STARTED
+    if _WARMUP_STARTED or _os.environ.get("EIGENPINNS_NO_WARMUP") == "1":
         return
+    _WARMUP_STARTED = True
 
     def _warm():
         try:
@@ -85,6 +103,3 @@ def _warmup_transfer_async() -> None:
 
     threading.Thread(target=_warm, name="eigenpinns-d2h-warmup",
                      daemon=True).start()
-
-
-_warmup_transfer_async()

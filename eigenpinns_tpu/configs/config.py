@@ -1,0 +1,96 @@
+"""Config system: sectioned YAML -> one flat dataclass.
+
+Parity with the reference's `PINNConfig` (src/config.py:5-50): the YAML is
+organized in sections (config / sampler / utils / correctorGNN /
+multigridGNN / runner) whose keys are merged into a single flat namespace.
+Extends the reference's 30 parameters with TPU-specific knobs (dtype,
+device mesh shape, coarse solver choice) — all defaulted so reference
+YAML files load unchanged.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import yaml
+
+
+@dataclasses.dataclass
+class Config:
+    # --- config section (src/parameters.yml:1-7) ---
+    mesh_file: str = "./resources/bunny.obj"
+    coarse_mesh_files: list = dataclasses.field(default_factory=list)
+    diagnostics_viz: str = "./outputs/diagnostics.png"
+    vtu_file: str = "./outputs/bunny_model.vtu"
+    verbose: bool = False
+    do_extensive_visuals: bool = False
+
+    # --- sampler section (:9-11) ---
+    sampler_type: str = "farthest_point"
+    edge_computation_type: str = "knn_based"
+
+    # --- utils section (:13-16) ---
+    normalization_eps: float = 1e-9
+    prolongation_neighbors: int = 21
+    knn_graph_neighbors: int = 21
+
+    # --- correctorGNN section (:18-22) ---
+    model_type: str = "simple"
+    hidden_layers: list = dataclasses.field(
+        default_factory=lambda: [256] * 6)
+    dropout: float = 0.0
+
+    # --- multigridGNN section (:24-36) ---
+    epochs: int = 10000
+    learning_rate: float = 1e-3
+    corrector_scale: float = 10.0
+    weight_residual: float = 1000.0
+    weight_orthogonal: float = 10.0
+    weight_projection: float = 0.0
+    weight_trace: float = 0.0
+    w_order: float = 0.0
+    w_eigen: float = 0.0
+    gradient_clipping: float = 10.0
+    weight_decay: float = 1e-5
+    log_every: int = 1000
+
+    # --- runner section (:38-40) ---
+    n_modes: int = 64
+    hierarchy: list = dataclasses.field(
+        default_factory=lambda: [256, 512, 1024])
+    k_neighbors: int = 21
+
+    # --- TPU-framework extensions (not in the reference) ---
+    dtype: str = "float32"
+    coarse_solver: str = "eigsh"          # 'eigsh' (host) | 'lobpcg' (device)
+    pc_neighbors: int = 30                 # point-cloud Laplacian kNN
+    scan_chunk: int = 100                  # epochs fused per jitted scan
+    early_stop_patience: int = 5000        # src/multigrid_model.py:234
+    scale_ramp_epochs: int = 5000          # adaptive corr ramp (:243)
+    plateau_patience: int = 2000           # ReduceLROnPlateau (:221-223)
+    plateau_factor: float = 0.5
+    seed: int = 0
+    polish_iters: int = 0   # post-training LOBPCG polish (0 = reference parity)
+    checkpoint_dir: str = ""
+    mesh_shape: list = dataclasses.field(default_factory=list)  # device mesh
+    profile_dir: str = ""
+
+    @classmethod
+    def from_yaml(cls, path: str) -> "Config":
+        """Load a sectioned YAML, merging every section flat
+        (src/config.py:41-50)."""
+        with open(path, "r") as fh:
+            raw = yaml.safe_load(fh) or {}
+        merged: dict[str, Any] = {}
+        for section in raw.values():
+            if isinstance(section, dict):
+                merged.update(section)
+        known = {f.name for f in dataclasses.fields(cls)}
+        unknown = set(merged) - known
+        if unknown:
+            raise ValueError(f"unknown config keys: {sorted(unknown)}")
+        return cls(**merged)
+
+    def override(self, **kwargs) -> "Config":
+        return dataclasses.replace(self, **kwargs)

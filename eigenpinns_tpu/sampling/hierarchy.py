@@ -87,6 +87,9 @@ def build_hierarchy(
 ) -> Hierarchy:
     """Build the full multiresolution problem (Sampler.preprocess_mesh
     parity, src/samplers.py:283-286)."""
+    import eigenpinns_tpu
+
+    eigenpinns_tpu.warmup_transfer_async()
     if sampler_type not in SAMPLER_TYPES:
         raise ValueError(
             f"sampler_type must be one of {SAMPLER_TYPES}, got "

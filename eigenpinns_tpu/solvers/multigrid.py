@@ -1,0 +1,287 @@
+"""Multigrid GNN eigen-refinement trainer — the production pipeline.
+
+Capability parity with `MultigridGNN.train_multiresolution`
+(src/multigrid_model.py:42-92) redesigned TPU-first:
+
+  * the hierarchy's operators enter as padded-ELL/diagonal pytrees built
+    ONCE (vs the reference's per-epoch scipy->torch conversion,
+    src/multigrid_model.py:306-307);
+  * coarse-grid correction, Rayleigh-Ritz, feature building, the full
+    training loop and final refinement all run on device;
+  * epochs are fused into jitted lax.scan chunks with on-carry early-stop
+    bookkeeping (eigenpinns_tpu.train.loop) — no per-epoch host sync;
+  * the projection loss (transfer_learning_downsampling.ipynb cell
+    0:155-157) is actually implemented (the reference src keeps a zero
+    placeholder, src/multigrid_model.py:346).
+
+Pipeline: CGC init -> M-normalize -> physics features -> corrector
+training (residual + Gram + spectral-structure losses) -> per-level
+normalization -> finest-level extraction -> robust Rayleigh-Ritz.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from eigenpinns_tpu.losses import (
+    eigenvalue_target,
+    gram_orthogonality,
+    ordering,
+    projection,
+    rayleigh_and_residual,
+    trace_loss,
+)
+from eigenpinns_tpu.models import make_corrector
+from eigenpinns_tpu.sparse import (
+    gcn_normalized_adjacency,
+    m_normalize_columns,
+    spmm,
+)
+from eigenpinns_tpu.solvers.rayleigh_ritz import (
+    rayleigh_ritz,
+    rayleigh_ritz_robust,
+)
+from eigenpinns_tpu.solvers.smoothers import coarse_grid_correction
+from eigenpinns_tpu.train.loop import LoopResult, run_scan_loop
+from eigenpinns_tpu.train.optim import adam_plateau
+
+
+class MGState(NamedTuple):
+    params: Any
+    opt_state: Any
+    plateau_state: Any
+
+
+@dataclasses.dataclass
+class MultigridResult:
+    eigenvalues: np.ndarray       # (k,) refined finest-level eigenvalues
+    eigenvectors: np.ndarray      # (N_finest, k) refined
+    U_all: np.ndarray             # (sum N_l, k) normalized predictions
+    history: dict
+    epochs_run: int
+    wall_time: float
+    level_eigenvalues: list[np.ndarray]
+
+
+def _level_features(X, U_norm, lam, edge_index, K, M, level_idx, n_levels):
+    """Physics-informed node features, parity with `_compute_level_features`
+    (src/multigrid_model.py:159-201): [xyz, level indicator, normalized
+    degree, diag K, diag M, residual magnitude, per-node Rayleigh, U_norm]
+    -> (N, 8 + k)."""
+    n = X.shape[0]
+    X_t = jnp.asarray(X, dtype=U_norm.dtype)
+    res_feat = jnp.full((n, 1), float(n_levels - 1 - level_idx),
+                        dtype=U_norm.dtype)
+    deg = np.bincount(np.asarray(edge_index[0]), minlength=n).astype(
+        np.float64)
+    deg_feat = jnp.asarray(deg / (deg.max() + 1e-12),
+                           dtype=U_norm.dtype)[:, None]
+    K_diag = K.diagonal()[:, None]
+    M_diag = M.diagonal()[:, None]
+    Ku = spmm(K, U_norm)
+    Mu = spmm(M, U_norm)
+    res_vec = Ku - Mu * lam[None, :]
+    res_mag = jnp.linalg.norm(res_vec, axis=1, keepdims=True)
+    res_mag = res_mag / (jnp.max(res_mag) + 1e-12)
+    rayleigh = (jnp.sum(U_norm * Ku, axis=1, keepdims=True)
+                / (jnp.sum(U_norm * Mu, axis=1, keepdims=True) + 1e-12))
+    rayleigh = rayleigh / (jnp.max(lam) + 1e-12)
+    return jnp.concatenate(
+        [X_t, res_feat, deg_feat, K_diag, M_diag, res_mag, rayleigh, U_norm],
+        axis=1)
+
+
+class MultigridTrainer:
+    """Drives corrector training over a preprocessed Hierarchy."""
+
+    def __init__(self, config):
+        self.cfg = config
+        if config.model_type.lower() not in ("simple", "spectral",
+                                             "adaptive"):
+            raise ValueError(
+                f"model_type must be 'simple', 'spectral' or 'adaptive', "
+                f"got '{config.model_type}'")
+
+    # ---- pipeline steps -------------------------------------------------
+
+    def _init_cgc(self, h):
+        """CGC on every fine level + eigenvalue estimates
+        (src/multigrid_model.py:99-118)."""
+        U_cgc = [h.U_list[0]]
+        lam_list = []
+        for i in range(1, h.n_levels):
+            U_c, lam_f = coarse_grid_correction(
+                h.U_list[i], h.K_ops[i], h.M_ops[i], h.K_ops[i - 1],
+                h.P_ops[i - 1], h.Pt_ops[i - 1])
+            U_cgc.append(U_c)
+            lam_list.append(lam_f)
+        lam0, _ = rayleigh_ritz(h.U_list[0], h.K_ops[0], h.M_ops[0])
+        lam_list.insert(0, lam0)
+        return U_cgc, lam_list
+
+    def _build_features(self, h, U_norm_list, lam_list):
+        feats = [
+            _level_features(h.X_list[i], U_norm_list[i], lam_list[i],
+                            h.edge_index_list[i], h.K_ops[i], h.M_ops[i],
+                            i, h.n_levels)
+            for i in range(h.n_levels)
+        ]
+        return jnp.concatenate(feats, axis=0)
+
+    def _concat_edges(self, h):
+        offs = h.node_offsets
+        edges = [np.asarray(e) + offs[i]
+                 for i, e in enumerate(h.edge_index_list)]
+        return np.concatenate(edges, axis=1)
+
+    # ---- training -------------------------------------------------------
+
+    def train(self, h, log_fn=None) -> MultigridResult:
+        import eigenpinns_tpu
+
+        eigenpinns_tpu.warmup_transfer_async()
+        cfg = self.cfg
+        k = cfg.n_modes
+
+        U_cgc, lam_list = self._init_cgc(h)
+        U_norm_list = [m_normalize_columns(U, M)
+                       for U, M in zip(U_cgc, h.M_ops)]
+        U_base = jnp.concatenate(U_norm_list, axis=0)
+        feats = self._build_features(h, U_norm_list, lam_list)
+        edges_np = self._concat_edges(h)
+        n_total = feats.shape[0]
+
+        model = make_corrector(cfg.model_type, cfg.hidden_layers, k,
+                               cfg.dropout)
+        if cfg.model_type.lower() == "spectral":
+            graph = gcn_normalized_adjacency(edges_np, n_total)
+        else:
+            graph = jnp.asarray(edges_np)
+
+        params = model.init(jax.random.PRNGKey(cfg.seed), feats, graph)
+        opt, plateau = adam_plateau(
+            cfg.learning_rate, cfg.weight_decay, cfg.gradient_clipping,
+            cfg.plateau_factor, cfg.plateau_patience)
+        opt_state = opt.init(params)
+        plateau_state = plateau.init(params)
+
+        offsets = h.node_offsets
+        sizes = h.actual_hierarchy
+        lam_target = lam_list[0]
+        levels = list(zip(offsets, sizes, h.K_ops, h.M_ops))
+
+        def loss_fn(params, epoch):
+            corr_raw = model.apply(params, feats, graph)
+            ramp = jnp.minimum(1.0, epoch.astype(jnp.float32)
+                               / float(cfg.scale_ramp_epochs))
+            U_pred = U_base + cfg.corrector_scale * ramp * corr_raw
+            loss_res = 0.0
+            loss_orth = 0.0
+            loss_proj = 0.0
+            lam_levels = []
+            U_slices = []
+            for i, (off, n, K, M) in enumerate(levels):
+                U_l = jax.lax.dynamic_slice_in_dim(U_pred, off, n, axis=0)
+                U_slices.append(U_l)
+                lam_l, res_l = rayleigh_and_residual(U_l, K, M)
+                lam_levels.append(lam_l)
+                loss_res = loss_res + res_l
+                loss_orth = loss_orth + gram_orthogonality(U_l, M)
+                if cfg.weight_projection > 0 and i >= 1:
+                    loss_proj = loss_proj + projection(
+                        U_l, h.Pt_ops[i - 1], U_slices[i - 1])
+            lam0 = lam_levels[0]
+            loss_trace = trace_loss(lam0)
+            loss_order = ordering(lam0)
+            loss_eigen = eigenvalue_target(lam0, lam_target)
+            total = (cfg.weight_residual * loss_res
+                     + cfg.weight_orthogonal * loss_orth
+                     + cfg.weight_projection * loss_proj
+                     + cfg.weight_trace * loss_trace
+                     + cfg.w_order * loss_order
+                     + cfg.w_eigen * loss_eigen)
+            metrics = {
+                "loss": total,
+                "res": cfg.weight_residual * loss_res,
+                "orth": cfg.weight_orthogonal * loss_orth,
+                "proj": cfg.weight_projection * loss_proj,
+                "trace": cfg.weight_trace * loss_trace,
+                "order": cfg.w_order * loss_order,
+                "eigen": cfg.w_eigen * loss_eigen,
+                "scale": cfg.corrector_scale * ramp,
+            }
+            return total, metrics
+
+        def step(state: MGState, epoch):
+            (total, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params, epoch)
+            updates, opt_state = opt.update(grads, state.opt_state,
+                                            state.params)
+            updates, plateau_state = plateau.update(
+                updates, state.plateau_state, value=total)
+            params = jax.tree_util.tree_map(
+                lambda p, u: p + u, state.params, updates)
+            return MGState(params, opt_state, plateau_state), metrics
+
+        result: LoopResult = run_scan_loop(
+            step, MGState(params, opt_state, plateau_state),
+            n_epochs=cfg.epochs, chunk=cfg.scan_chunk,
+            early_stop_patience=cfg.early_stop_patience,
+            log_every=cfg.log_every,
+            log_fn=log_fn or (self._default_log if cfg.verbose else None),
+        )
+
+        # Final predictions at full corrector scale
+        # (src/multigrid_model.py:359-384).
+        final_params = result.state.params
+        corr = model.apply(final_params, feats, graph)
+        U_pred = U_base + cfg.corrector_scale * corr
+        U_levels = []
+        lam_levels = []
+        for off, n, K, M in levels:
+            U_l = m_normalize_columns(U_pred[off:off + n], M)
+            U_levels.append(U_l)
+            lam_levels.append(np.asarray(rayleigh_ritz(U_l, K, M)[0]))
+        U_all = jnp.concatenate(U_levels, axis=0)
+
+        # Finest-level extraction + Rayleigh-Ritz
+        # (src/multigrid_model.py:452-475).
+        U_finest = U_levels[-1]
+        vals, U_ref = rayleigh_ritz_robust(
+            U_finest, h.K_ops[-1], h.M_ops[-1])
+        vals, U_ref = vals[:k], U_ref[:, :k]
+        if cfg.polish_iters > 0:
+            # Framework extension beyond the reference: a few LOBPCG
+            # iterations warm-started from the learned subspace drive the
+            # eigenpairs to solver-grade accuracy entirely on device.
+            from eigenpinns_tpu.solvers.lobpcg import lobpcg
+
+            res = lobpcg(h.K_ops[-1], h.M_ops[-1], U_ref, k=k,
+                         max_iter=cfg.polish_iters, tol=1e-7)
+            vals, U_ref = res.eigenvalues, res.eigenvectors
+        vals = np.asarray(vals)
+        U_ref = np.asarray(U_ref)
+
+        return MultigridResult(
+            eigenvalues=vals,
+            eigenvectors=U_ref,
+            U_all=np.asarray(U_all),
+            history=result.history,
+            epochs_run=result.epochs_run,
+            wall_time=result.wall_time,
+            level_eigenvalues=lam_levels,
+        )
+
+    @staticmethod
+    def _default_log(epoch, metrics):
+        print(
+            f"Epoch {epoch:5d}: Loss={metrics['loss']:.6f} | "
+            f"Res={metrics['res']:.6f} | Orth={metrics['orth']:.6f} | "
+            f"Proj={metrics['proj']:.6f} | Trace={metrics['trace']:.6f} | "
+            f"Order={metrics['order']:.6f} | Eigen={metrics['eigen']:.6f} | "
+            f"Scale={metrics['scale']:.4f}")

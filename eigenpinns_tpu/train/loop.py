@@ -1,0 +1,89 @@
+"""Scan-chunked training loops.
+
+The reference runs 10k-epoch Python loops with one graph launch per epoch
+(src/multigrid_model.py:226-279). Here epochs are fused `scan_chunk` at a
+time into ONE compiled program (jit(lax.scan)) and the host only syncs
+between chunks — for early stopping, logging and plateau scheduling. This
+removes per-step dispatch overhead entirely; on the tunneled TPU, where
+every host sync is expensive, it is the difference between device-bound
+and launch-bound training.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class LoopResult(NamedTuple):
+    state: Any
+    history: dict           # metric name -> np array over epochs run
+    epochs_run: int
+    wall_time: float
+    stopped_early: bool
+
+
+def run_scan_loop(
+    step_fn: Callable,        # (state, epoch:int32) -> (state, metrics dict)
+    init_state: Any,
+    n_epochs: int,
+    chunk: int = 100,
+    early_stop_patience: int | None = None,
+    early_stop_metric: str = "loss",
+    log_every: int = 0,
+    log_fn: Callable | None = None,
+) -> LoopResult:
+    """Run `step_fn` for up to n_epochs, fused in jitted scan chunks.
+
+    Early stopping follows the reference semantics
+    (src/multigrid_model.py:262-272): a counter increments whenever the
+    metric fails to improve on its best and the loop stops when the
+    counter exceeds the patience. The counter is tracked inside the scan
+    carry so fusing does not change behavior.
+    """
+    import numpy as np
+
+    @partial(jax.jit, static_argnums=(2,))
+    def run_chunk(carry, epoch0, length):
+        def body(c, i):
+            state, best, patience = c
+            state, metrics = step_fn(state, epoch0 + i)
+            val = metrics[early_stop_metric]
+            improved = val < best
+            best = jnp.where(improved, val, best)
+            patience = jnp.where(improved, 0, patience + 1)
+            return (state, best, patience), metrics
+
+        return jax.lax.scan(body, carry, jnp.arange(length, dtype=jnp.int32))
+
+    carry = (init_state, jnp.asarray(jnp.inf, dtype=jnp.float32),
+             jnp.asarray(0, dtype=jnp.int32))
+    history: dict[str, list] = {}
+    t0 = time.time()
+    epochs_run = 0
+    stopped = False
+    while epochs_run < n_epochs:
+        length = min(chunk, n_epochs - epochs_run)
+        carry, metrics = run_chunk(carry, jnp.asarray(epochs_run,
+                                                      jnp.int32), length)
+        metrics = {k: np.asarray(v) for k, v in metrics.items()}
+        for k, v in metrics.items():
+            history.setdefault(k, []).append(v)
+        epochs_run += length
+        if log_every and log_fn is not None:
+            for e in range(epochs_run - length, epochs_run):
+                if e % log_every == 0 or e == n_epochs - 1:
+                    log_fn(e, {k: float(v[e - (epochs_run - length)])
+                               for k, v in metrics.items()})
+        patience = int(carry[2])
+        if early_stop_patience is not None and patience > early_stop_patience:
+            stopped = True
+            break
+
+    history = {k: np.concatenate(v) for k, v in history.items()}
+    return LoopResult(carry[0], history, epochs_run, time.time() - t0,
+                      stopped)

@@ -1,0 +1,126 @@
+"""End-to-end multigrid trainer tests (CPU, small problems)."""
+
+import numpy as np
+import pytest
+
+from eigenpinns_tpu.configs import Config
+from eigenpinns_tpu.sampling import build_hierarchy
+from eigenpinns_tpu.solvers.multigrid import MultigridTrainer
+
+
+@pytest.fixture(scope="module")
+def small_hierarchy(coarse1_mesh):
+    return build_hierarchy(coarse1_mesh, [64, 120], n_modes=5,
+                           sampler_type="farthest_point", pc_neighbors=15)
+
+
+def small_config(**kw):
+    base = dict(
+        n_modes=5,
+        hierarchy=[64, 120],
+        hidden_layers=[32, 32],
+        epochs=300,
+        scan_chunk=50,
+        scale_ramp_epochs=100,
+        corrector_scale=1.0,
+        log_every=0,
+        plateau_patience=10_000,
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+def test_multigrid_end_to_end(small_hierarchy):
+    cfg = small_config()
+    result = MultigridTrainer(cfg).train(small_hierarchy)
+    # Shapes.
+    n_finest = small_hierarchy.actual_hierarchy[-1]
+    assert result.eigenvectors.shape == (n_finest, 5)
+    assert result.U_all.shape[0] == sum(small_hierarchy.actual_hierarchy)
+    assert result.epochs_run == 300
+    # Training reduced the loss.
+    loss = result.history["loss"]
+    assert loss[-1] < loss[0]
+    # Refined eigenvalues: nonnegative, sorted, lambda0 ~ 0.
+    lam = result.eigenvalues
+    assert abs(lam[0]) < 0.05  # rigid-body mode ~ 0 (300-epoch smoke run)
+    assert np.all(np.diff(lam) > -1e-5)
+    # Rayleigh-Ritz on the finest level should land near the oracle for the
+    # low modes; high modes converge slowly in a 300-epoch smoke run (the
+    # reference's own recorded errors are 5-42%, BASELINE.md).
+    from eigenpinns_tpu.solvers.oracle import eigsh_smallest
+
+    vals, _ = eigsh_smallest(small_hierarchy.K_scipy[-1],
+                             small_hierarchy.M_scipy[-1], 5)
+    rel = np.abs(lam[1:3] - vals[1:3]) / vals[1:3]
+    assert rel.max() < 0.45, (lam, vals)
+
+
+def test_multigrid_lobpcg_polish(small_hierarchy):
+    """The polish extension reaches solver-grade accuracy (<1% — the
+    BASELINE.json north-star tolerance)."""
+    cfg = small_config(epochs=100, polish_iters=150)
+    result = MultigridTrainer(cfg).train(small_hierarchy)
+    from eigenpinns_tpu.solvers.oracle import eigsh_smallest
+
+    vals, _ = eigsh_smallest(small_hierarchy.K_scipy[-1],
+                             small_hierarchy.M_scipy[-1], 5)
+    lam = result.eigenvalues
+    rel = np.abs(lam[1:] - vals[1:]) / vals[1:]
+    assert rel.max() < 0.01, (lam, vals)
+
+
+def test_multigrid_early_stop(small_hierarchy):
+    cfg = small_config(epochs=5000, early_stop_patience=20, scan_chunk=25)
+    result = MultigridTrainer(cfg).train(small_hierarchy)
+    assert result.epochs_run < 5000  # stopped early at some point
+
+
+def test_multigrid_spectral_model(small_hierarchy):
+    cfg = small_config(model_type="spectral", epochs=60)
+    result = MultigridTrainer(cfg).train(small_hierarchy)
+    assert np.isfinite(result.eigenvalues).all()
+
+
+def test_multigrid_projection_loss(small_hierarchy):
+    cfg = small_config(weight_projection=1.0, epochs=60)
+    result = MultigridTrainer(cfg).train(small_hierarchy)
+    assert result.history["proj"][0] > 0  # actually computed, not placeholder
+
+
+def test_multigrid_validates_model_type():
+    with pytest.raises(ValueError):
+        MultigridTrainer(small_config(model_type="bogus"))
+
+
+def test_config_yaml_roundtrip(tmp_path):
+    yaml_text = """
+config:
+  mesh_file: "./resources/bunny.obj"
+  vtu_file: "./out.vtu"
+sampler:
+  sampler_type: 'voxel_downsampling'
+runner:
+  n_modes: 7
+  hierarchy: [32, 64]
+"""
+    p = tmp_path / "params.yml"
+    p.write_text(yaml_text)
+    cfg = Config.from_yaml(str(p))
+    assert cfg.n_modes == 7
+    assert cfg.sampler_type == "voxel_downsampling"
+    assert cfg.hierarchy == [32, 64]
+    # Unknown keys rejected.
+    p2 = tmp_path / "bad.yml"
+    p2.write_text("runner:\n  bogus_key: 1\n")
+    with pytest.raises(ValueError):
+        Config.from_yaml(str(p2))
+
+
+def test_reference_parameters_yml_loads():
+    """The reference's own parameters.yml must load unchanged."""
+    cfg = Config.from_yaml("/root/reference/src/parameters.yml")
+    assert cfg.n_modes == 64
+    assert cfg.hierarchy == [256, 512, 1024]
+    assert cfg.weight_residual == 1000.0
+    assert cfg.hidden_layers == [256] * 6
