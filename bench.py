@@ -1,0 +1,97 @@
+"""Benchmark: multigrid corrector training throughput on the bunny.
+
+Reproduces the reference's only recorded end-to-end timing — the
+multires-GNN bunny run (2503 verts, k=10, 4-level hierarchy, 2000 epochs)
+that took ~85 s, i.e. ~23.5 steps/s
+(multigrid_gnn_multires_physics.ipynb cell 1; BASELINE.md row 1) — and
+reports steady-state training steps/s on this machine's accelerator.
+
+Prints exactly ONE JSON line:
+    {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+plus auxiliary detail on stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+BASELINE_STEPS_PER_SEC = 2000.0 / 85.0  # reference: 2000 epochs / ~85 s
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    t_start = time.time()
+    import numpy as np
+
+    import eigenpinns_tpu
+    from eigenpinns_tpu.configs import Config
+    from eigenpinns_tpu.geometry import load_mesh
+    from eigenpinns_tpu.sampling import build_hierarchy
+    from eigenpinns_tpu.solvers.multigrid import MultigridTrainer
+
+    eigenpinns_tpu.warmup_transfer_async()
+    import jax
+
+    log(f"devices: {jax.devices()}")
+
+    mesh = load_mesh("/root/reference/resources/bunny.obj")
+    log(f"bunny: {mesh.n_verts} verts; preprocessing...")
+    t0 = time.time()
+    hierarchy = build_hierarchy(
+        mesh, [128, 512, 1024], n_modes=10,
+        sampler_type="farthest_point", seed=0)
+    log(f"hierarchy {hierarchy.actual_hierarchy} in {time.time()-t0:.1f}s")
+
+    cfg = Config(
+        n_modes=10,
+        hierarchy=[128, 512, 1024],
+        hidden_layers=[256] * 6,
+        epochs=2000,
+        scan_chunk=200,
+        corrector_scale=10.0,
+        weight_residual=1000.0,
+        weight_orthogonal=10.0,
+        log_every=0,
+        early_stop_patience=10**9,   # fixed-length run for timing parity
+        plateau_patience=2000,
+        polish_iters=100,
+    )
+    trainer = MultigridTrainer(cfg)
+    t0 = time.time()
+    result = trainer.train(hierarchy)
+    total = time.time() - t0
+
+    # Steady-state rate: skip chunk 0 (compilation).
+    steady = result.chunk_times[1:] or result.chunk_times
+    n_steady = sum(n for n, _ in steady)
+    t_steady = sum(t for _, t in steady)
+    steps_per_sec = n_steady / max(t_steady, 1e-9)
+
+    # Accuracy vs oracle (sanity; the driver's north star).
+    from eigenpinns_tpu.solvers.oracle import eigsh_smallest
+
+    vals, _ = eigsh_smallest(hierarchy.K_scipy[-1], hierarchy.M_scipy[-1],
+                             10)
+    rel = np.abs(result.eigenvalues[1:] - vals[1:]) / np.abs(vals[1:])
+    log(f"train: {result.epochs_run} epochs, {total:.1f}s total, "
+        f"{steps_per_sec:.1f} steps/s steady-state")
+    log(f"refined lambda: {np.round(result.eigenvalues, 4)}")
+    log(f"oracle lambda:  {np.round(vals, 4)}")
+    log(f"max rel err (modes 1+): {rel.max():.2e}")
+    log(f"end-to-end wall: {time.time()-t_start:.1f}s")
+
+    print(json.dumps({
+        "metric": "bunny_multigrid_train_steps_per_sec",
+        "value": round(steps_per_sec, 2),
+        "unit": "steps/s",
+        "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

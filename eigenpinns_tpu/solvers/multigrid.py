@@ -66,6 +66,7 @@ class MultigridResult:
     epochs_run: int
     wall_time: float
     level_eigenvalues: list[np.ndarray]
+    chunk_times: list
 
 
 def _level_features(X, U_norm, lam, edge_index, K, M, level_idx, n_levels):
@@ -275,6 +276,7 @@ class MultigridTrainer:
             epochs_run=result.epochs_run,
             wall_time=result.wall_time,
             level_eigenvalues=lam_levels,
+            chunk_times=result.chunk_times,
         )
 
     @staticmethod

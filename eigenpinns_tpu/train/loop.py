@@ -25,6 +25,9 @@ class LoopResult(NamedTuple):
     epochs_run: int
     wall_time: float
     stopped_early: bool
+    chunk_times: list       # [(n_epochs, seconds)] per chunk; chunk 0
+                            # includes compilation — steady-state rate is
+                            # sum(n)/sum(s) over chunks 1+
 
 
 def run_scan_loop(
@@ -66,11 +69,14 @@ def run_scan_loop(
     t0 = time.time()
     epochs_run = 0
     stopped = False
+    chunk_times = []
     while epochs_run < n_epochs:
+        t_chunk = time.time()
         length = min(chunk, n_epochs - epochs_run)
         carry, metrics = run_chunk(carry, jnp.asarray(epochs_run,
                                                       jnp.int32), length)
         metrics = {k: np.asarray(v) for k, v in metrics.items()}
+        chunk_times.append((length, time.time() - t_chunk))
         for k, v in metrics.items():
             history.setdefault(k, []).append(v)
         epochs_run += length
@@ -86,4 +92,4 @@ def run_scan_loop(
 
     history = {k: np.concatenate(v) for k, v in history.items()}
     return LoopResult(carry[0], history, epochs_run, time.time() - t0,
-                      stopped)
+                      stopped, chunk_times)
