@@ -43,9 +43,16 @@ def _enable_persistent_compile_cache() -> None:
     # cache written on a different host machine type gets loaded with
     # "could lead to execution errors such as SIGILL" warnings and visibly
     # different numerics. The cache exists to absorb the tunneled TPU's
-    # slow remote compiles; CPU compiles are fast anyway.
-    platforms = _os.environ.get("JAX_PLATFORMS", "")
-    if not any(p in platforms for p in ("tpu", "axon")):
+    # slow remote compiles; CPU compiles are fast anyway. Called lazily
+    # (from warmup_transfer_async) once the REAL backend is known — the
+    # JAX_PLATFORMS env var alone is not authoritative because processes
+    # can force CPU through the live config after import.
+    try:
+        import jax
+
+        if jax.default_backend() == "cpu":
+            return
+    except Exception:  # pragma: no cover
         return
     cache_dir = _os.environ.get(
         "EIGENPINNS_COMPILE_CACHE",
@@ -59,9 +66,6 @@ def _enable_persistent_compile_cache() -> None:
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     except Exception:  # pragma: no cover - older jax or read-only fs
         pass
-
-
-_enable_persistent_compile_cache()
 
 
 _WARMUP_STARTED = False
@@ -83,9 +87,12 @@ def warmup_transfer_async() -> None:
     Opt out with EIGENPINNS_NO_WARMUP=1. Idempotent.
     """
     global _WARMUP_STARTED
-    if _WARMUP_STARTED or _os.environ.get("EIGENPINNS_NO_WARMUP") == "1":
+    if _WARMUP_STARTED:
         return
     _WARMUP_STARTED = True
+    _enable_persistent_compile_cache()
+    if _os.environ.get("EIGENPINNS_NO_WARMUP") == "1":
+        return
 
     def _warm():
         try:

@@ -10,6 +10,13 @@ from eigenpinns_tpu.solvers.smoothers import (
     cg_solve,
     coarse_grid_correction,
 )
+from eigenpinns_tpu.solvers.direct import train_joint, DirectResult
+from eigenpinns_tpu.solvers.deflation import solve_deflation, DeflationResult
+from eigenpinns_tpu.solvers.schrodinger_driver import (
+    solve_schrodinger,
+    SchrodingerResult,
+    SchrodingerMode,
+)
 from eigenpinns_tpu.solvers.oracle import (
     eigsh_smallest,
     solve_eigenvalue_point_cloud,
@@ -21,6 +28,8 @@ __all__ = [
     "eigh_generalized", "filtered_whiten", "rayleigh_ritz",
     "rayleigh_ritz_robust", "lobpcg", "lobpcg_from_random", "LobpcgResult",
     "jacobi_smooth", "cg_solve", "coarse_grid_correction",
+    "train_joint", "DirectResult", "solve_deflation", "DeflationResult",
+    "solve_schrodinger", "SchrodingerResult", "SchrodingerMode",
     "eigsh_smallest", "solve_eigenvalue_point_cloud", "solve_eigenvalue_mesh",
     "orthonormalize_gs",
 ]

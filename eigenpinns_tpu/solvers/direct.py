@@ -1,0 +1,150 @@
+"""Direct joint eigen-learning: one network predicts all k eigenfunctions.
+
+Capability parity with the reference's direct-training notebooks:
+  * penalty mode — residual + Gram-penalty orthogonality
+    (scripts/simplified_loss.ipynb cell 0: loss = ||KU - diag(ray) MU|| +
+    mean+max of (U^T M U - I)^2);
+  * whiten mode — differentiable M-orthonormalization (Newton-Schulz, the
+    stable sibling of the SVD whitening whose unguarded run diverged,
+    scripts/loss_with_rigid_body.ipynb) followed by trace/ordering/
+    diversity/zero-lambda spectral-structure losses.
+
+TPU-first: the whole epoch is one fused jit step (model forward on all N
+points, SpMM, k x k Grams on the MXU); epochs run in scan chunks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from eigenpinns_tpu.losses import (
+    diversity,
+    gram_orthogonality,
+    newton_schulz_orthonormalize,
+    ordering,
+    rayleigh_and_residual,
+    trace_loss,
+    zero_lambda,
+    zero_mean,
+)
+from eigenpinns_tpu.models import JointEigenNet
+from eigenpinns_tpu.train.loop import run_scan_loop
+
+
+class DirectState(NamedTuple):
+    params: Any
+    opt_state: Any
+
+
+@dataclasses.dataclass
+class DirectResult:
+    eigenvalues: np.ndarray
+    eigenvectors: np.ndarray
+    history: dict
+    epochs_run: int
+    wall_time: float
+    chunk_times: list
+
+
+def train_joint(
+    K,
+    M,
+    X,
+    n_modes: int,
+    hidden=(64, 64, 64),
+    activation: str = "silu",
+    mode: str = "penalty",           # 'penalty' | 'whiten'
+    epochs: int = 5000,
+    scan_chunk: int = 200,
+    lr_start: float = 1e-2,
+    lr_end: float = 1e-4,
+    w_res: float = 1.0,
+    w_orth: float = 1.0,
+    w_trace: float = 0.0,
+    w_order: float = 0.0,
+    w_zero: float = 0.0,
+    w_zero_mean: float = 0.0,
+    w_diversity: float = 0.0,
+    min_gap: float = 0.01,
+    ns_iters: int = 6,
+    seed: int = 0,
+    rayleigh_ritz_finish: bool = True,
+    log_fn=None,
+    log_every: int = 0,
+) -> DirectResult:
+    """Learn all n_modes eigenfunctions of K u = lam M u jointly."""
+    import eigenpinns_tpu
+
+    eigenpinns_tpu.warmup_transfer_async()
+    if mode not in ("penalty", "whiten"):
+        raise ValueError(f"mode must be 'penalty' or 'whiten', got '{mode}'")
+
+    X = jnp.asarray(X, dtype=jnp.float32)
+    model = JointEigenNet(tuple(hidden), n_modes, activation=activation)
+    params = model.init(jax.random.PRNGKey(seed), X)
+    schedule = optax.exponential_decay(lr_start, epochs,
+                                       lr_end / lr_start)
+    opt = optax.adam(schedule)
+    opt_state = opt.init(params)
+
+    def loss_fn(params):
+        U_raw = model.apply(params, X)
+        if mode == "whiten":
+            U = newton_schulz_orthonormalize(U_raw, M, n_iters=ns_iters)
+        else:
+            U = U_raw
+        lam, res = rayleigh_and_residual(U, K, M)
+        orth = gram_orthogonality(U, M)
+        total = w_res * res + w_orth * orth
+        if w_trace:
+            total = total + w_trace * trace_loss(lam)
+        if w_order:
+            total = total + w_order * ordering(lam)
+        if w_zero:
+            total = total + w_zero * zero_lambda(
+                jnp.sort(lam))
+        if w_zero_mean:
+            total = total + w_zero_mean * zero_mean(U, M)
+        if w_diversity:
+            total = total + w_diversity * diversity(jnp.sort(lam), min_gap)
+        metrics = {"loss": total, "res": res, "orth": orth,
+                   "lam_mean": jnp.mean(lam)}
+        return total, metrics
+
+    def step(state: DirectState, epoch):
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        updates, opt_state = opt.update(grads, state.opt_state)
+        params = optax.apply_updates(state.params, updates)
+        return DirectState(params, opt_state), metrics
+
+    result = run_scan_loop(step, DirectState(params, opt_state),
+                           n_epochs=epochs, chunk=scan_chunk,
+                           log_every=log_every, log_fn=log_fn)
+
+    U = model.apply(result.state.params, X)
+    if mode == "whiten":
+        U = newton_schulz_orthonormalize(U, M, n_iters=ns_iters)
+    if rayleigh_ritz_finish:
+        from eigenpinns_tpu.solvers.rayleigh_ritz import rayleigh_ritz_robust
+
+        lam, U = rayleigh_ritz_robust(U, K, M)
+        lam, U = lam[:n_modes], U[:, :n_modes]
+    else:
+        from eigenpinns_tpu.sparse import rayleigh_quotients
+
+        lam = rayleigh_quotients(U, K, M)
+    return DirectResult(
+        eigenvalues=np.asarray(lam),
+        eigenvectors=np.asarray(U),
+        history=result.history,
+        epochs_run=result.epochs_run,
+        wall_time=result.wall_time,
+        chunk_times=result.chunk_times,
+    )

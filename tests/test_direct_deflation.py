@@ -1,0 +1,75 @@
+"""Direct joint training and iterative deflation driver tests."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from eigenpinns_tpu.sparse import as_operator
+from eigenpinns_tpu.solvers import (
+    eigsh_smallest,
+    solve_deflation,
+    train_joint,
+)
+
+
+@pytest.fixture(scope="module")
+def sphere_problem():
+    from eigenpinns_tpu.geometry import point_cloud_laplacian
+
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(300, 3))
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    L, M = point_cloud_laplacian(X, n_neighbors=15)
+    vals, vecs = eigsh_smallest(L, M, 6)
+    return X, as_operator(L), as_operator(M), L, M, vals, vecs
+
+
+def test_train_joint_penalty(sphere_problem):
+    X, Kop, Mop, L, M, vals, _ = sphere_problem
+    res = train_joint(Kop, Mop, X, n_modes=5, hidden=(64, 64),
+                      mode="penalty", epochs=3000, w_res=1.0, w_orth=10.0,
+                      lr_start=5e-3, lr_end=1e-4, seed=0)
+    assert res.history["loss"][-1] < res.history["loss"][0]
+    # Rayleigh-Ritz finish: eigenvalues near the oracle for low modes
+    # (sphere spectrum: 0, then 2,2,2).
+    rel = np.abs(res.eigenvalues[1:4] - vals[1:4]) / vals[1:4]
+    assert rel.max() < 0.1, (res.eigenvalues, vals)
+
+
+def test_train_joint_whiten(sphere_problem):
+    X, Kop, Mop, L, M, vals, _ = sphere_problem
+    res = train_joint(Kop, Mop, X, n_modes=4, hidden=(64, 64),
+                      mode="whiten", epochs=2000, w_res=1.0, w_orth=1.0,
+                      w_trace=0.5, lr_start=3e-3, seed=0)
+    # Whitened output: near-M-orthonormal before any finish.
+    U = res.eigenvectors
+    G = U.T @ (M @ U)
+    assert np.abs(np.diag(G) - 1).max() < 0.05
+    assert np.isfinite(res.eigenvalues).all()
+
+
+def test_train_joint_validates(sphere_problem):
+    X, Kop, Mop, *_ = sphere_problem
+    with pytest.raises(ValueError):
+        train_joint(Kop, Mop, X, 3, mode="bogus", epochs=1)
+
+
+@pytest.mark.slow
+def test_deflation_sequential_modes(sphere_problem):
+    X, Kop, Mop, L, M, vals, _ = sphere_problem
+    # NB the learnable lambda converges near its warm start (the
+    # reference's recorded runs show the same: every reported lambda is
+    # lam_prev + 0.15), so the warm-start delta must be informed.
+    res = solve_deflation(Kop, Mop, X, n_modes=2, hidden=(48, 48),
+                          epochs_per_mode=5000, lr=2e-3, seed=0,
+                          lambda_delta=1.8, w_defl=300.0)
+    # Mode 0: constant, lambda ~ 0.
+    assert abs(res.eigenvalues[0]) < 0.05, res.eigenvalues
+    # Mode 1 near the first sphere harmonic (lambda ~ 1.93), tighter than
+    # the reference's recorded mode-2+ accuracy (30-60% errors).
+    assert abs(res.eigenvalues[1] - vals[1]) / vals[1] < 0.15, \
+        (res.eigenvalues, vals)
+    # Deflation worked: found modes are M-orthogonal.
+    U = res.eigenvectors
+    g01 = abs(float(U[:, 0] @ (M @ U[:, 1])))
+    assert g01 < 0.05
