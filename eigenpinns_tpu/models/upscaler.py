@@ -16,19 +16,29 @@ import jax.numpy as jnp
 
 
 class HierarchicalUpscaler(nn.Module):
-    """u_fine = MLP(u_coarse); lam = trainable, init from the coarse value."""
+    """u_fine = base + MLP(u_coarse); lam = trainable, init from coarse.
+
+    `base` (typically an interpolation prolongation of u_coarse) anchors
+    the output: with a small-init MLP head the upscaler starts AT the
+    interpolated guess instead of at noise, which prevents the
+    collapse-to-zero failure mode once the (decaying) normalization weight
+    fades — the instability visible in the reference notebook's rough
+    results.
+    """
 
     hidden: Sequence[int]
     n_fine: int
     lambda_init: float = 0.0
 
     @nn.compact
-    def __call__(self, u_coarse):
+    def __call__(self, u_coarse, base=None):
         from eigenpinns_tpu.models.mlp import MLP
 
         h = jnp.reshape(u_coarse, (1, -1))
         u_fine = MLP(tuple(self.hidden), self.n_fine,
-                     activation="tanh")(h)[0]
+                     activation="tanh", small_output_init=True)(h)[0]
+        if base is not None:
+            u_fine = base + u_fine
         lam = self.param(
             "lam", lambda key, shape: jnp.full(shape, self.lambda_init), ())
         return u_fine, lam

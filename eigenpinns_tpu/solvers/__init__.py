@@ -17,6 +17,8 @@ from eigenpinns_tpu.solvers.schrodinger_driver import (
     SchrodingerResult,
     SchrodingerMode,
 )
+from eigenpinns_tpu.solvers.upscale import hierarchical_eigensolve, UpscaleResult
+from eigenpinns_tpu.solvers.transfer import train_per_level, TransferResult
 from eigenpinns_tpu.solvers.oracle import (
     eigsh_smallest,
     solve_eigenvalue_point_cloud,
@@ -30,6 +32,8 @@ __all__ = [
     "jacobi_smooth", "cg_solve", "coarse_grid_correction",
     "train_joint", "DirectResult", "solve_deflation", "DeflationResult",
     "solve_schrodinger", "SchrodingerResult", "SchrodingerMode",
+    "hierarchical_eigensolve", "UpscaleResult", "train_per_level",
+    "TransferResult",
     "eigsh_smallest", "solve_eigenvalue_point_cloud", "solve_eigenvalue_mesh",
     "orthonormalize_gs",
 ]
