@@ -13,6 +13,7 @@ from eigenpinns_tpu.geometry.fem import (
     assemble_stiffness_mass,
     gradient_operator,
 )
+from eigenpinns_tpu.geometry.geodesics import heat_geodesics, geodesic_ground_truth
 from eigenpinns_tpu.geometry.point_cloud import (
     point_cloud_laplacian,
     mesh_laplacian,
@@ -24,6 +25,7 @@ __all__ = [
     "TriMesh", "load_obj", "save_obj", "load_mesh", "normalize_mesh",
     "triangle_geometry", "element_stiffness", "element_mass",
     "assemble_coo", "assemble_stiffness_mass", "gradient_operator",
+    "heat_geodesics", "geodesic_ground_truth",
     "point_cloud_laplacian", "mesh_laplacian", "local_triangulations",
     "cotan_laplacian_from_soup",
 ]

@@ -9,9 +9,15 @@ from eigenpinns_tpu.operators.schrodinger import (
     mc_norm_sq,
     mc_inner,
 )
+from eigenpinns_tpu.operators.eikonal import (
+    gradient_norm_operator,
+    eikonal_residual,
+    eigen_positional_encoding,
+)
 
 __all__ = [
     "infinite_well", "harmonic_oscillator", "well_eigenvalues",
     "oscillator_eigenvalues", "second_derivative_1d", "laplacian_nd",
     "schrodinger_residual", "mc_norm_sq", "mc_inner",
+    "gradient_norm_operator", "eikonal_residual", "eigen_positional_encoding",
 ]

@@ -19,6 +19,7 @@ from eigenpinns_tpu.solvers.schrodinger_driver import (
 )
 from eigenpinns_tpu.solvers.upscale import hierarchical_eigensolve, UpscaleResult
 from eigenpinns_tpu.solvers.transfer import train_per_level, TransferResult
+from eigenpinns_tpu.solvers.eikonal_driver import solve_eikonal, EikonalResult
 from eigenpinns_tpu.solvers.oracle import (
     eigsh_smallest,
     solve_eigenvalue_point_cloud,
@@ -33,7 +34,7 @@ __all__ = [
     "train_joint", "DirectResult", "solve_deflation", "DeflationResult",
     "solve_schrodinger", "SchrodingerResult", "SchrodingerMode",
     "hierarchical_eigensolve", "UpscaleResult", "train_per_level",
-    "TransferResult",
+    "TransferResult", "solve_eikonal", "EikonalResult",
     "eigsh_smallest", "solve_eigenvalue_point_cloud", "solve_eigenvalue_mesh",
     "orthonormalize_gs",
 ]

@@ -1,0 +1,121 @@
+"""Delta-PINN eikonal solver: geodesic distance from spectral encodings.
+
+Capability parity with the Laplace-PINN-coil application
+(Laplace-PINN-coil.ipynb cells 1-36): a PINN maps each vertex's
+Laplace-Beltrami eigenfunction coordinates (the Delta-PINN positional
+encoding) to a scalar field u solving the surface eikonal equation
+|grad_S u| = 1, supervised by a handful of known geodesic distances:
+
+    loss = MSE(u(x_d), y_d)                     [n_data random vertices]
+         + MSE(sqrt(u_e^T Bs_e u_e) - 1, 0)     [random element batches]
+
+Ground truth comes from the framework's own heat-method geodesics
+(geometry/geodesics.py) instead of the reference's igl.exact_geodesic.
+Per-step batches are drawn inside the jitted scan step via fold_in keys.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from eigenpinns_tpu.models.mlp import MLP
+from eigenpinns_tpu.operators.eikonal import (
+    eikonal_residual,
+    gradient_norm_operator,
+)
+from eigenpinns_tpu.train.loop import run_scan_loop
+
+
+class EikState(NamedTuple):
+    params: Any
+    opt_state: Any
+
+
+@dataclasses.dataclass
+class EikonalResult:
+    u: np.ndarray                # predicted distance field at all vertices
+    history: dict
+    data_mse: float
+    residual_rms: float
+
+
+def solve_eikonal(
+    mesh,
+    encodings: np.ndarray,       # (V, n_eigs) spectral coordinates
+    y_data: np.ndarray,          # (V,) ground-truth distances
+    n_data: int = 50,
+    hidden: Sequence[int] = (100,),
+    epochs: int = 20000,
+    scan_chunk: int = 500,
+    element_batch: int = 512,
+    lr: float = 1e-3,
+    lr_decay_steps: int = 20000,
+    seed: int = 0,
+    log_fn=None,
+    log_every: int = 0,
+) -> EikonalResult:
+    """Train the eikonal PINN; returns the full predicted field."""
+    import eigenpinns_tpu
+
+    eigenpinns_tpu.warmup_transfer_async()
+    enc = jnp.asarray(encodings, jnp.float32)
+    faces = jnp.asarray(np.asarray(mesh.faces, np.int32))
+    Bs = jnp.asarray(gradient_norm_operator(mesh.verts, mesh.faces),
+                     jnp.float32)
+    n_faces = faces.shape[0]
+    n_verts = enc.shape[0]
+
+    # Fixed supervised subset (the notebook's 50 random nodes, cell 7:88).
+    rng = np.random.default_rng(seed)
+    data_idx = jnp.asarray(rng.choice(n_verts, size=min(n_data, n_verts),
+                                      replace=False))
+    # Normalize targets like the notebook (sigma/mu scaling, cell 7:47).
+    y_mu, y_sigma = float(np.mean(y_data)), float(np.std(y_data) + 1e-12)
+    y = jnp.asarray((y_data - y_mu) / y_sigma, jnp.float32)
+
+    model = MLP(tuple(hidden), 1, activation="tanh")
+    params = model.init(jax.random.PRNGKey(seed), enc[:4])
+    schedule = optax.exponential_decay(lr, lr_decay_steps, 0.1)
+    opt = optax.adam(schedule)
+    opt_state = opt.init(params)
+
+    def u_full(params):
+        return model.apply(params, enc)[:, 0]
+
+    def loss_fn(params, key):
+        u = u_full(params)
+        loss_u = jnp.mean((u[data_idx] - y[data_idx]) ** 2)
+        e_idx = jax.random.randint(key, (element_batch,), 0, n_faces)
+        # Residual on the PHYSICAL field u * sigma (cell 7:47-53).
+        r = eikonal_residual(u * y_sigma + y_mu, Bs[e_idx], faces[e_idx])
+        loss_r = jnp.mean(r**2)
+        total = loss_u + loss_r
+        return total, {"loss": total, "data": loss_u, "res": loss_r}
+
+    def step(state: EikState, epoch):
+        key = jax.random.fold_in(jax.random.PRNGKey(seed + 1), epoch)
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, key)
+        updates, opt_state = opt.update(grads, state.opt_state)
+        params = optax.apply_updates(state.params, updates)
+        return EikState(params, opt_state), metrics
+
+    result = run_scan_loop(step, EikState(params, opt_state),
+                           n_epochs=epochs, chunk=scan_chunk,
+                           log_every=log_every, log_fn=log_fn)
+
+    u = np.asarray(u_full(result.state.params)) * y_sigma + y_mu
+    r = np.asarray(eikonal_residual(jnp.asarray(u), Bs, faces))
+    data_mse = float(np.mean((u - y_data) ** 2))
+    return EikonalResult(
+        u=u,
+        history=result.history,
+        data_mse=data_mse,
+        residual_rms=float(np.sqrt(np.mean(r**2))),
+    )

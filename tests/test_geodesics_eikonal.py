@@ -1,0 +1,102 @@
+"""Heat-method geodesics + eikonal Delta-PINN tests."""
+
+import numpy as np
+import pytest
+
+from eigenpinns_tpu.geometry import TriMesh, heat_geodesics
+from eigenpinns_tpu.operators import (
+    eigen_positional_encoding,
+    eikonal_residual,
+    gradient_norm_operator,
+)
+
+
+def make_sphere_mesh(n_sub=3):
+    """Icosphere via subdivision of an icosahedron."""
+    t = (1 + 5**0.5) / 2
+    verts = np.array([
+        [-1, t, 0], [1, t, 0], [-1, -t, 0], [1, -t, 0],
+        [0, -1, t], [0, 1, t], [0, -1, -t], [0, 1, -t],
+        [t, 0, -1], [t, 0, 1], [-t, 0, -1], [-t, 0, 1]], float)
+    faces = np.array([
+        [0, 11, 5], [0, 5, 1], [0, 1, 7], [0, 7, 10], [0, 10, 11],
+        [1, 5, 9], [5, 11, 4], [11, 10, 2], [10, 7, 6], [7, 1, 8],
+        [3, 9, 4], [3, 4, 2], [3, 2, 6], [3, 6, 8], [3, 8, 9],
+        [4, 9, 5], [2, 4, 11], [6, 2, 10], [8, 6, 7], [9, 8, 1]])
+    for _ in range(n_sub):
+        mid = {}
+        new_faces = []
+        verts = list(verts)
+
+        def midpoint(a, b):
+            key = (min(a, b), max(a, b))
+            if key not in mid:
+                v = (np.asarray(verts[a]) + np.asarray(verts[b])) / 2
+                verts.append(v)
+                mid[key] = len(verts) - 1
+            return mid[key]
+
+        for f in faces:
+            a, b, c = f
+            ab, bc, ca = midpoint(a, b), midpoint(b, c), midpoint(c, a)
+            new_faces += [[a, ab, ca], [b, bc, ab], [c, ca, bc],
+                          [ab, bc, ca]]
+        faces = np.asarray(new_faces)
+        verts = np.asarray(verts)
+    verts = verts / np.linalg.norm(verts, axis=1, keepdims=True)
+    return TriMesh(verts, faces.astype(np.int32))
+
+
+@pytest.fixture(scope="module")
+def sphere_mesh():
+    return make_sphere_mesh(3)
+
+
+def test_heat_geodesics_sphere(sphere_mesh):
+    """On the unit sphere, geodesic distance from a pole is the arc length
+    arccos(z) — check the heat method against it."""
+    src = int(np.argmax(sphere_mesh.verts[:, 2]))  # north-ish pole
+    d = heat_geodesics(sphere_mesh, [src])
+    p0 = sphere_mesh.verts[src]
+    exact = np.arccos(np.clip(sphere_mesh.verts @ p0, -1, 1))
+    # Heat method: smooth approximation; correlation and scale must hold.
+    mask = exact > 0.1
+    rel = np.abs(d[mask] - exact[mask]) / exact[mask]
+    assert np.median(rel) < 0.1, np.median(rel)
+    assert d[src] < 0.05
+    assert np.corrcoef(d, exact)[0, 1] > 0.99
+
+
+def test_gradient_norm_operator_linear_field(sphere_mesh):
+    """For u = z on a flat triangle pair, |grad u| = 1 exactly."""
+    verts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0]], float)
+    faces = np.array([[0, 1, 2], [1, 3, 2]])
+    Bs = gradient_norm_operator(verts, faces)
+    u = verts[:, 0]  # u = x -> |grad| = 1
+    import jax.numpy as jnp
+
+    r = eikonal_residual(jnp.asarray(u, jnp.float32),
+                         jnp.asarray(Bs, jnp.float32),
+                         jnp.asarray(faces))
+    assert np.abs(np.asarray(r)).max() < 1e-5
+
+
+@pytest.mark.slow
+def test_eikonal_pinn_on_sphere(sphere_mesh):
+    """End-to-end Delta-PINN: eigen encodings -> eikonal solve -> compare
+    to the heat-method ground truth."""
+    from eigenpinns_tpu.solvers import solve_eikonal
+    from eigenpinns_tpu.solvers.oracle import solve_eigenvalue_mesh
+
+    src = int(np.argmax(sphere_mesh.verts[:, 2]))
+    y = heat_geodesics(sphere_mesh, [src])
+    _, vecs, _, _ = solve_eigenvalue_mesh(sphere_mesh, 20)
+    enc = eigen_positional_encoding(vecs, 20)
+    res = solve_eikonal(sphere_mesh, enc, y, n_data=50,
+                        hidden=(100,), epochs=4000, element_batch=256,
+                        seed=0)
+    # The learned field reproduces the distance field decently and nearly
+    # satisfies |grad u| = 1.
+    corr = np.corrcoef(res.u, y)[0, 1]
+    assert corr > 0.97, corr
+    assert res.residual_rms < 0.35, res.residual_rms
