@@ -22,7 +22,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from eigenpinns_tpu.models.mlp import MLP
-from eigenpinns_tpu.sparse import neighbor_mean, spmm
+from eigenpinns_tpu.sparse import SparseELL, neighbor_mean, spmm
 
 
 class SimpleCorrector(nn.Module):
@@ -33,8 +33,14 @@ class SimpleCorrector(nn.Module):
     dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, x, edge_index, deterministic: bool = True):
-        agg = neighbor_mean(edge_index, x)
+    def __call__(self, x, graph, deterministic: bool = True):
+        # graph: (2, E) edge_index OR a prebuilt SparseELL mean-aggregation
+        # operator (neighbor_mean_operator) — the latter keeps both the
+        # forward and the backward scatter-free on TPU.
+        if isinstance(graph, SparseELL):
+            agg = spmm(graph, x)
+        else:
+            agg = neighbor_mean(graph, x)
         h = jnp.concatenate([x, agg], axis=1)
         return MLP(self.hidden, self.out_dim, activation="relu",
                    dropout=self.dropout, small_output_init=True)(
@@ -66,9 +72,9 @@ class AdaptiveCorrector(nn.Module):
     scale_init: float = 0.01
 
     @nn.compact
-    def __call__(self, x, edge_index, deterministic: bool = True):
+    def __call__(self, x, graph, deterministic: bool = True):
         corr = SimpleCorrector(self.hidden, self.out_dim, self.dropout)(
-            x, edge_index, deterministic=deterministic)
+            x, graph, deterministic=deterministic)
         scales = self.param(
             "mode_scales",
             lambda key, shape: jnp.full(shape, self.scale_init),

@@ -40,6 +40,7 @@ from eigenpinns_tpu.models import make_corrector
 from eigenpinns_tpu.sparse import (
     gcn_normalized_adjacency,
     m_normalize_columns,
+    neighbor_mean_operator,
     spmm,
 )
 from eigenpinns_tpu.solvers.rayleigh_ritz import (
@@ -162,7 +163,8 @@ class MultigridTrainer:
         if cfg.model_type.lower() == "spectral":
             graph = gcn_normalized_adjacency(edges_np, n_total)
         else:
-            graph = jnp.asarray(edges_np)
+            # Prebuilt mean-aggregation operator: scatter-free fwd AND bwd.
+            graph = neighbor_mean_operator(edges_np, n_total)
 
         params = model.init(jax.random.PRNGKey(cfg.seed), feats, graph)
         opt, plateau = adam_plateau(

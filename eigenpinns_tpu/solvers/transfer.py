@@ -32,7 +32,7 @@ from eigenpinns_tpu.losses import (
     rayleigh_and_residual,
 )
 from eigenpinns_tpu.models import SimpleCorrector
-from eigenpinns_tpu.sparse import m_normalize_columns
+from eigenpinns_tpu.sparse import m_normalize_columns, neighbor_mean_operator
 from eigenpinns_tpu.solvers.multigrid import _level_features
 from eigenpinns_tpu.solvers.rayleigh_ritz import (
     rayleigh_ritz,
@@ -104,7 +104,8 @@ def train_per_level(
         feats = _level_features(
             h.X_list[level], U_init, lam_prev, h.edge_index_list[level],
             K, M, level, h.n_levels)
-        edges = jnp.asarray(h.edge_index_list[level])
+        edges = neighbor_mean_operator(h.edge_index_list[level],
+                                        h.actual_hierarchy[level])
 
         if params is None:
             params = model.init(jax.random.PRNGKey(seed), feats, edges)

@@ -12,6 +12,7 @@ from eigenpinns_tpu.sparse.ops import (
     block_diag_ell,
     gcn_normalized_adjacency,
     neighbor_mean,
+    neighbor_mean_operator,
 )
 
 __all__ = [
@@ -19,4 +20,5 @@ __all__ = [
     "hdot", "spmm", "spmv", "gram", "m_gram", "rayleigh_quotients",
     "m_normalize_columns", "normalize_columns", "residual",
     "block_diag_ell", "gcn_normalized_adjacency", "neighbor_mean",
+    "neighbor_mean_operator",
 ]

@@ -36,18 +36,30 @@ def _round_up(x: int, m: int) -> int:
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
 class SparseELL:
-    """Padded row-major sparse matrix (ELLPACK)."""
+    """Padded row-major sparse matrix (ELLPACK).
+
+    `transpose_ell` optionally stores A^T in the same layout; it feeds the
+    scatter-free custom VJP of `spmm` (ops._ell_spmm). None means the
+    operator is symmetric and its own transpose.
+    """
 
     indices: Any  # (N, W) int32
     values: Any   # (N, W) float
     n_cols: int   # static
+    transpose_ell: Any = None  # SparseELL | None (None = symmetric)
 
     def tree_flatten(self):
-        return (self.indices, self.values), (self.n_cols,)
+        if self.transpose_ell is None:
+            return (self.indices, self.values), (self.n_cols, False)
+        return ((self.indices, self.values, self.transpose_ell),
+                (self.n_cols, True))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], children[1], aux[0])
+        n_cols, has_t = aux
+        if has_t:
+            return cls(children[0], children[1], n_cols, children[2])
+        return cls(children[0], children[1], n_cols)
 
     @property
     def shape(self):
@@ -58,21 +70,42 @@ class SparseELL:
         return self.indices.shape[1]
 
     @classmethod
-    def from_scipy(cls, A, dtype=jnp.float32, pad_multiple: int = 8):
-        """Canonicalize any scipy sparse matrix into ELL (host-side, once)."""
+    def from_scipy(cls, A, dtype=jnp.float32, pad_multiple: int = 8,
+                   with_transpose: bool = True):
+        """Canonicalize any scipy sparse matrix into ELL (host-side, once).
+
+        Unless the matrix is (numerically) symmetric, its transpose is
+        also converted and attached for the scatter-free SpMM VJP.
+        """
         A = A.tocsr()
         A.sum_duplicates()
         n, m = A.shape
-        deg = np.diff(A.indptr)
-        w = max(_round_up(int(deg.max()) if n else 1, pad_multiple),
-                pad_multiple)
-        indices = np.zeros((n, w), dtype=np.int32)
-        values = np.zeros((n, w), dtype=np.float64)
-        for i in range(n):
-            lo, hi = A.indptr[i], A.indptr[i + 1]
-            indices[i, : hi - lo] = A.indices[lo:hi]
-            values[i, : hi - lo] = A.data[lo:hi]
-        return cls(jnp.asarray(indices), jnp.asarray(values, dtype=dtype), m)
+
+        def _pack(B):
+            nn = B.shape[0]
+            deg = np.diff(B.indptr)
+            w = max(_round_up(int(deg.max()) if nn else 1, pad_multiple),
+                    pad_multiple)
+            indices = np.zeros((nn, w), dtype=np.int32)
+            values = np.zeros((nn, w), dtype=np.float64)
+            for i in range(nn):
+                lo, hi = B.indptr[i], B.indptr[i + 1]
+                indices[i, : hi - lo] = B.indices[lo:hi]
+                values[i, : hi - lo] = B.data[lo:hi]
+            return (jnp.asarray(indices), jnp.asarray(values, dtype=dtype))
+
+        idx, vals = _pack(A)
+        transpose = None
+        if with_transpose:
+            symmetric = False
+            if n == m:
+                d = (A - A.T).tocsr()
+                symmetric = d.nnz == 0 or abs(d).max() < 1e-12 * max(
+                    abs(A).max(), 1e-300)
+            if not symmetric:
+                ti, tv = _pack(A.T.tocsr())
+                transpose = cls(ti, tv, n)
+        return cls(idx, vals, m, transpose)
 
     def to_scipy(self):
         import scipy.sparse as sp

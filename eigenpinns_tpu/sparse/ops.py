@@ -24,22 +24,65 @@ def hdot(a: jax.Array, b: jax.Array) -> jax.Array:
                    preferred_element_type=jnp.float32).astype(a.dtype)
 
 
+def _gather_spmm(indices: jax.Array, values: jax.Array,
+                 U: jax.Array) -> jax.Array:
+    """Raw ELL SpMM: gather U rows by padded column indices, contract W."""
+    gathered = U[indices]                 # (N, W, k)
+    return jnp.einsum(
+        "nwk,nw->nk", gathered, values,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    ).astype(U.dtype)
+
+
+@jax.custom_vjp
+def _ell_spmm(indices, values, t_indices, t_values, U):
+    """ELL SpMM whose VJP uses the EXPLICIT transpose operator.
+
+    The autodiff backward of a gather is a scatter-add — measured ~5x the
+    whole forward step on TPU. Backpropagating A^T @ g as another gather
+    SpMM removes every scatter from the training step. (t_indices,
+    t_values) hold A^T in ELL; for symmetric operators they alias A's.
+    """
+    return _gather_spmm(indices, values, U)
+
+
+def _ell_spmm_fwd(indices, values, t_indices, t_values, U):
+    out = _gather_spmm(indices, values, U)
+    return out, (indices, t_indices, t_values, U)
+
+
+def _ell_spmm_bwd(res, g):
+    indices, t_indices, t_values, U = res
+    dU = _gather_spmm(t_indices, t_values, g)
+    # Cotangent for `values` (DCE'd by XLA when operators are constants):
+    dvalues = jnp.einsum(
+        "nk,nwk->nw", g, U[indices],
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32).astype(g.dtype)
+    import numpy as _np
+
+    f0 = jax.dtypes.float0
+    return (_np.zeros(indices.shape, f0), dvalues,
+            _np.zeros(t_indices.shape, f0),
+            jnp.zeros_like(t_values), dU)
+
+
+_ell_spmm.defvjp(_ell_spmm_fwd, _ell_spmm_bwd)
+
+
 def spmm(A, U: jax.Array) -> jax.Array:
     """A @ U for A in {SparseELL, Diagonal}, U: (N, k) dense.
 
     ELL path: gather U rows by the padded column indices and contract the
     width axis — `(N, W, k) * (N, W, 1) -> (N, k)`. Static shapes, no
-    scatter; XLA fuses the gather with the reduction.
+    scatter (including in the backward pass — see `_ell_spmm`).
     """
     if isinstance(A, Diagonal):
         return A.diag[:, None] * U
     if isinstance(A, SparseELL):
-        gathered = U[A.indices]           # (N, W, k)
-        return jnp.einsum(
-            "nwk,nw->nk", gathered, A.values,
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        ).astype(U.dtype)
+        t = A.transpose_ell if A.transpose_ell is not None else A
+        return _ell_spmm(A.indices, A.values, t.indices, t.values, U)
     raise TypeError(f"unsupported operator {type(A)}")
 
 
@@ -147,6 +190,8 @@ def neighbor_mean(edge_index: jax.Array, x: jax.Array) -> jax.Array:
 
     Segment-sum formulation of the reference SimpleCorrector aggregation
     (`src/corrector_model.py:23-31`: index_add_ over rows + bincount).
+    Prefer `neighbor_mean_operator` + `spmm` in training loops — the
+    segment-sum is a scatter, and so is the gather's backward.
     """
     row, col = edge_index[0], edge_index[1]
     n = x.shape[0]
@@ -154,3 +199,19 @@ def neighbor_mean(edge_index: jax.Array, x: jax.Array) -> jax.Array:
     deg = jax.ops.segment_sum(jnp.ones_like(row, dtype=x.dtype), row,
                               num_segments=n)
     return agg / jnp.clip(deg, 1.0)[:, None]
+
+
+def neighbor_mean_operator(edge_index, n_nodes: int) -> SparseELL:
+    """The mean-aggregation matrix D^{-1} A as SparseELL (host-side build,
+    transpose attached for the scatter-free VJP). `spmm(op, x)` equals
+    `neighbor_mean(edge_index, x)`."""
+    import numpy as np
+    import scipy.sparse as sp
+
+    e = np.asarray(edge_index)
+    A = sp.coo_matrix((np.ones(e.shape[1]), (e[0], e[1])),
+                      shape=(n_nodes, n_nodes)).tocsr()
+    A.sum_duplicates()
+    deg = np.asarray(A.sum(axis=1)).ravel()
+    Dinv = sp.diags(1.0 / np.clip(deg, 1.0, None))
+    return SparseELL.from_scipy((Dinv @ A).tocsr())
