@@ -6,8 +6,17 @@ from eigenpinns_tpu.parallel.mesh import (
     shard_array,
 )
 from eigenpinns_tpu.parallel.data_parallel import make_dp_train_step, constrain
+from eigenpinns_tpu.parallel.sharded import (
+    ShardedOperator,
+    all_gather_spmm,
+    halo_spmm,
+    psum_gram,
+    pad_rows,
+)
 
 __all__ = [
     "make_mesh", "node_sharding", "replicated", "pad_to_multiple",
     "shard_array", "make_dp_train_step", "constrain",
+    "ShardedOperator", "all_gather_spmm", "halo_spmm", "psum_gram",
+    "pad_rows",
 ]

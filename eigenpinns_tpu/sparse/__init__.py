@@ -1,4 +1,10 @@
 from eigenpinns_tpu.sparse.formats import SparseELL, Diagonal, as_operator
+from eigenpinns_tpu.sparse.banded import (
+    BandedELL,
+    banded_spmm,
+    banded_spmm_reference,
+    banded_spmm_pallas,
+)
 from eigenpinns_tpu.sparse.ops import (
     hdot,
     spmm,
@@ -17,6 +23,7 @@ from eigenpinns_tpu.sparse.ops import (
 
 __all__ = [
     "SparseELL", "Diagonal", "as_operator",
+    "BandedELL", "banded_spmm", "banded_spmm_reference", "banded_spmm_pallas",
     "hdot", "spmm", "spmv", "gram", "m_gram", "rayleigh_quotients",
     "m_normalize_columns", "normalize_columns", "residual",
     "block_diag_ell", "gcn_normalized_adjacency", "neighbor_mean",

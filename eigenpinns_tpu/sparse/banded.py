@@ -1,0 +1,236 @@
+"""Banded-dense sparse format: mesh Laplacians as MXU matmuls.
+
+The gather-based ELL SpMM keeps the VPU busy moving rows around; the MXU
+(the TPU's 128x128 systolic array, where virtually all of the chip's
+FLOPs live) sits idle. Mesh/kNN Laplacians are LOCAL operators: after a
+bandwidth-minimizing reordering (reverse Cuthill-McKee), every nonzero of
+row i lies within a narrow window of columns around i. That makes SpMM
+expressible as dense tile matmuls:
+
+  for each tile of T=128 rows: out[tile] = band[tile] @ U[window(tile)]
+
+with band[tile] the densified (T, B) slice of A and window(tile) a
+contiguous (B, k) slice of U. B is the maximum per-tile column spread
+(rounded to 128). The densified matmul does B/W times more FLOPs than the
+gather (W = max row degree) but runs on hardware ~100x denser in FLOP/s,
+and its memory traffic is contiguous.
+
+`BandedELL.from_scipy` computes the RCM permutation; callers apply it to
+node-indexed data once in preprocessing.
+
+WHEN TO USE: the densification multiplies FLOPs and memory by B/W
+(bandwidth over max row degree). Surface meshes have RCM bandwidth
+O(sqrt(N)) (bunny: B=384 vs W=16 — a 24x blowup the MXU's ~100x density
+absorbs); volumetric/noisy clouds can hit B in the tens of thousands
+(measured 12.8k on a 100k slab cloud), where banded-dense loses
+outright. `from_scipy` enforces `max_bandwidth` so callers fall back to
+the gather-ELL path (whose fwd AND bwd are scatter-free, ops._ell_spmm)
+rather than silently allocating gigabytes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class BandedELL:
+    """Row-tiled banded-dense matrix (symmetric operators).
+
+    band:   (N_pad, B) float — densified rows, columns relative to the
+            tile's window start
+    starts: (n_tiles,) int32 — window start row of U for each tile
+    n:      true row count (N_pad = round_up(n, tile))
+    n_cols: column count of the (square) operator
+    tile:   rows per tile (static)
+    """
+
+    band: Any
+    starts: Any
+    n: int
+    n_cols: int
+    tile: int
+
+    def tree_flatten(self):
+        return (self.band, self.starts), (self.n, self.n_cols, self.tile)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], *aux)
+
+    @property
+    def bandwidth(self) -> int:
+        return self.band.shape[1]
+
+    @classmethod
+    def from_scipy(cls, A, dtype=jnp.float32, tile: int = 128,
+                   reorder: bool = True, max_bandwidth: int = 4096):
+        """Convert a (symmetric) scipy sparse matrix.
+
+        Returns (op, perm) where perm is the RCM permutation applied —
+        op represents P A P^T; SpMM inputs/outputs live in permuted order.
+        Raises ValueError when the post-RCM bandwidth exceeds
+        `max_bandwidth` (densification would be counterproductive — use
+        the gather-ELL path instead).
+        """
+        import scipy.sparse as sp
+        from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+        A = A.tocsr()
+        A.sum_duplicates()
+        n = A.shape[0]
+        if reorder:
+            perm = np.asarray(reverse_cuthill_mckee(A, symmetric_mode=True))
+        else:
+            perm = np.arange(n)
+        Ap = A[perm][:, perm].tocsr()
+
+        n_pad = _round_up(max(n, tile), tile)
+        n_tiles = n_pad // tile
+        indptr, indices, data = Ap.indptr, Ap.indices, Ap.data
+
+        # Per-tile window: [min col, max col] over the tile's rows
+        # (vectorized per-tile min/max via ufunc.reduceat).
+        tile_ptr = indptr[np.minimum(
+            np.arange(0, n_pad + tile, tile), n)]
+        nnz_tile = np.diff(tile_ptr)
+        starts = np.zeros(n_tiles, dtype=np.int64)
+        ends = np.zeros(n_tiles, dtype=np.int64)
+        nonempty = nnz_tile > 0
+        if indices.size:
+            red_idx = tile_ptr[:-1].copy()
+            # reduceat needs strictly valid segment starts; replace empty
+            # segments afterwards.
+            red_idx = np.minimum(red_idx, max(indices.size - 1, 0))
+            mins = np.minimum.reduceat(indices, red_idx)
+            maxs = np.maximum.reduceat(indices, red_idx)
+            starts[nonempty] = mins[nonempty]
+            ends[nonempty] = maxs[nonempty]
+        spread = int((ends - starts + 1).max()) if n_tiles else 1
+        if spread > max_bandwidth:
+            raise ValueError(
+                f"post-RCM tile bandwidth {spread} exceeds max_bandwidth="
+                f"{max_bandwidth}; banded densification would cost "
+                f"{spread}x row-degree FLOPs — use the ELL path")
+        B = _round_up(max(spread, 128), 128)
+        # Clamp starts so windows stay inside the padded U (N_pad + B pad).
+        starts = np.minimum(starts, max(n_pad - B, 0)).astype(np.int32)
+
+        # Vectorized band fill: each nonzero lands at
+        # band[row, col - starts[row // tile]].
+        deg = np.diff(indptr)
+        rows = np.repeat(np.arange(n), deg)
+        local = indices - starts[rows // tile]
+        band = np.zeros((n_pad, B), dtype=np.float64)
+        band[rows, local] = data
+
+        op = cls(jnp.asarray(band, dtype=dtype), jnp.asarray(starts),
+                 n, n, tile)
+        return op, perm
+
+    def pad_u(self, U: jax.Array) -> jax.Array:
+        """Pad U's row axis to N_pad + B so every window read is in-range."""
+        n_pad = self.band.shape[0]
+        target = n_pad + self.bandwidth
+        return jnp.pad(U, ((0, target - U.shape[0]), (0, 0)))
+
+
+def banded_spmm_reference(A: BandedELL, U: jax.Array) -> jax.Array:
+    """Pure-jnp banded SpMM (correctness oracle + CPU fallback)."""
+    Upad = A.pad_u(U)
+    tile, B = A.tile, A.bandwidth
+    n_tiles = A.band.shape[0] // tile
+
+    def one_tile(t):
+        window = jax.lax.dynamic_slice_in_dim(Upad, A.starts[t], B, axis=0)
+        return jnp.dot(
+            jax.lax.dynamic_slice_in_dim(A.band, t * tile, tile, axis=0),
+            window, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32).astype(U.dtype)
+
+    out = jax.vmap(one_tile)(jnp.arange(n_tiles))
+    return out.reshape(-1, U.shape[1])[: A.n]
+
+
+def banded_spmm(A: BandedELL, U: jax.Array,
+                use_pallas: bool | None = None) -> jax.Array:
+    """Banded SpMM with a scatter-free custom VJP (symmetric operators:
+    backward = the same banded SpMM applied to the cotangent)."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    fwd_impl = banded_spmm_pallas if use_pallas else banded_spmm_reference
+
+    @jax.custom_vjp
+    def f(U):
+        return fwd_impl(A, U)
+
+    def f_fwd(U):
+        return f(U), None
+
+    def f_bwd(_, g):
+        return (fwd_impl(A, g),)
+
+    f.defvjp(f_fwd, f_bwd)
+    return f(U)
+
+
+def banded_spmm_pallas(A: BandedELL, U: jax.Array,
+                       interpret: bool = False) -> jax.Array:
+    """Pallas TPU kernel: per-tile DMA of the U window + MXU matmul."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    # Lane (last-dim) tiles must be multiples of 128 on TPU; pad the mode
+    # axis (Mosaic rejects narrower out/scratch tiles — observed HTTP-500
+    # remote-compile failures at k=16/64, success at k=128).
+    k_orig = U.shape[1]
+    k = _round_up(k_orig, 128)
+    if k != k_orig:
+        U = jnp.pad(U, ((0, 0), (0, k - k_orig)))
+    Upad = A.pad_u(U)
+    tile, B = A.tile, A.bandwidth
+    n_pad = A.band.shape[0]
+    n_tiles = n_pad // tile
+
+    def kernel(starts_ref, band_ref, u_ref, out_ref, scratch, sem):
+        t = pl.program_id(0)
+        s = starts_ref[t]
+        dma = pltpu.make_async_copy(
+            u_ref.at[pl.ds(s, B), :], scratch, sem)
+        dma.start()
+        dma.wait()
+        out_ref[:] = jnp.dot(
+            band_ref[:], scratch[:],
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32).astype(out_ref.dtype)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((tile, B), lambda t, starts: (t, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((tile, k), lambda t, starts: (t, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((B, k), U.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_pad, k), U.dtype),
+        interpret=interpret,
+    )(A.starts, A.band, Upad)
+    return out[: A.n, : k_orig]

@@ -88,10 +88,11 @@ class SparseELL:
                     pad_multiple)
             indices = np.zeros((nn, w), dtype=np.int32)
             values = np.zeros((nn, w), dtype=np.float64)
-            for i in range(nn):
-                lo, hi = B.indptr[i], B.indptr[i + 1]
-                indices[i, : hi - lo] = B.indices[lo:hi]
-                values[i, : hi - lo] = B.data[lo:hi]
+            # Vectorized CSR->ELL: position-within-row for every nonzero.
+            rows = np.repeat(np.arange(nn), deg)
+            pos = np.arange(B.nnz) - np.repeat(B.indptr[:-1], deg)
+            indices[rows, pos] = B.indices
+            values[rows, pos] = B.data
             return (jnp.asarray(indices), jnp.asarray(values, dtype=dtype))
 
         idx, vals = _pack(A)

@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import scipy.sparse as sp
 
 from eigenpinns_tpu.sparse import (
@@ -100,3 +101,58 @@ def test_neighbor_mean(rng):
     x = jnp.asarray(np.array([[1.0], [2.0], [4.0]], dtype=np.float32))
     agg = np.asarray(neighbor_mean(edge_index, x))
     assert np.allclose(agg[:, 0], [3.0, 1.0, 0.0], atol=1e-6)
+
+
+def test_banded_format_and_spmm(rng):
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+
+    from eigenpinns_tpu.sparse import BandedELL, banded_spmm, banded_spmm_pallas
+
+    n = 300
+    K = sp.diags([-1.0, -0.5, 2.9, -0.5, -1.0], [-2, -1, 0, 1, 2],
+                 shape=(n, n)).tocsr()
+    op, perm = BandedELL.from_scipy(K)
+    Kp = K[perm][:, perm]
+    U = rng.normal(size=(n, 8)).astype(np.float32)
+    out = np.asarray(banded_spmm(op, jnp.asarray(U)))
+    ref = Kp @ U.astype(np.float64)
+    assert np.abs(out - ref).max() / np.abs(ref).max() < 1e-5
+    # Pallas interpret path agrees too.
+    out2 = np.asarray(banded_spmm_pallas(op, jnp.asarray(U), interpret=True))
+    assert np.abs(out2 - ref).max() / np.abs(ref).max() < 1e-5
+
+
+def test_banded_spmm_gradient(rng):
+    import jax
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+
+    from eigenpinns_tpu.sparse import BandedELL, banded_spmm
+
+    n = 150
+    K = sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(n, n)).tocsr()
+    op, perm = BandedELL.from_scipy(K)
+    Kp = (K[perm][:, perm]).toarray()
+    U = jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32))
+
+    def f(U):
+        return jnp.sum(banded_spmm(op, U) ** 2)
+
+    g = np.asarray(jax.grad(f)(U))
+    # Analytic: d/dU ||A U||^2 = 2 A^T A U (A symmetric).
+    ref = 2 * Kp.T @ (Kp @ np.asarray(U, np.float64))
+    assert np.abs(g - ref).max() / np.abs(ref).max() < 1e-4
+
+
+def test_banded_bandwidth_guard(rng):
+    import scipy.sparse as sp
+
+    from eigenpinns_tpu.sparse import BandedELL
+
+    # A random matrix has O(n) bandwidth even after RCM.
+    A = sp.random(600, 600, density=0.02,
+                  random_state=np.random.RandomState(0))
+    A = (A + A.T).tocsr()
+    with pytest.raises(ValueError):
+        BandedELL.from_scipy(A, max_bandwidth=64)
