@@ -1,0 +1,108 @@
+"""ctypes bindings for the native geometry kernels (csrc/).
+
+Loads `_native.so` (built by `make -C csrc`) and exposes drop-in
+replacements for the hot host-side preprocessing loops. Every entry point
+degrades gracefully: when the library is missing the pure-Python
+implementations are used, so the framework never hard-depends on the
+native build.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+_LIB = None
+_LIB_TRIED = False
+
+
+def load_native():
+    """The loaded CDLL or None (cached)."""
+    global _LIB, _LIB_TRIED
+    if _LIB_TRIED:
+        return _LIB
+    _LIB_TRIED = True
+    path = os.path.join(os.path.dirname(__file__), "_native.so")
+    if not os.path.exists(path):
+        return None
+    try:
+        lib = ctypes.CDLL(path)
+        c_d = ctypes.POINTER(ctypes.c_double)
+        c_i = ctypes.POINTER(ctypes.c_int64)
+        lib.epk_knn.restype = ctypes.c_int
+        lib.epk_knn.argtypes = [c_d, ctypes.c_int64, ctypes.c_int64, c_i]
+        lib.epk_fps.restype = ctypes.c_int
+        lib.epk_fps.argtypes = [c_d, ctypes.c_int64, ctypes.c_int64,
+                                ctypes.c_int64, c_i]
+        lib.epk_local_triangulations.restype = ctypes.c_int64
+        lib.epk_local_triangulations.argtypes = [
+            c_d, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, c_i]
+        _LIB = lib
+    except OSError:
+        _LIB = None
+    return _LIB
+
+
+def available() -> bool:
+    return load_native() is not None
+
+
+def _ptr_d(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
+def _ptr_i(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def knn_native(points: np.ndarray, k: int) -> np.ndarray:
+    """(n, k) nearest-neighbor indices (self excluded)."""
+    lib = load_native()
+    if lib is None:
+        raise RuntimeError("native library not built (make -C csrc)")
+    pts = np.ascontiguousarray(points, dtype=np.float64)
+    n = pts.shape[0]
+    out = np.empty((n, k), dtype=np.int64)
+    rc = lib.epk_knn(_ptr_d(pts), n, k, _ptr_i(out))
+    if rc != 0:
+        raise ValueError(f"epk_knn failed (rc={rc}); k >= n?")
+    return out
+
+
+def fps_native(points: np.ndarray, n_samples: int,
+               start: int = 0) -> np.ndarray:
+    lib = load_native()
+    if lib is None:
+        raise RuntimeError("native library not built (make -C csrc)")
+    pts = np.ascontiguousarray(points, dtype=np.float64)
+    out = np.empty(n_samples, dtype=np.int64)
+    rc = lib.epk_fps(_ptr_d(pts), pts.shape[0], n_samples, start,
+                     _ptr_i(out))
+    if rc != 0:
+        raise ValueError(f"epk_fps failed (rc={rc})")
+    return out
+
+
+def local_triangulations_native(points: np.ndarray,
+                                n_neighbors: int = 30) -> np.ndarray:
+    """Raw one-ring triangle soup (T, 3), NOT deduplicated — callers
+    dedup/count exactly like the Python path."""
+    lib = load_native()
+    if lib is None:
+        raise RuntimeError("native library not built (make -C csrc)")
+    pts = np.ascontiguousarray(points, dtype=np.float64)
+    n = pts.shape[0]
+    max_tris = 12 * n  # one-rings emit ~6 tris/point; generous headroom
+    out = np.empty((max_tris, 3), dtype=np.int64)
+    cnt = lib.epk_local_triangulations(
+        _ptr_d(pts), n, n_neighbors, max_tris, _ptr_i(out))
+    if cnt == -2:
+        max_tris *= 4
+        out = np.empty((max_tris, 3), dtype=np.int64)
+        cnt = lib.epk_local_triangulations(
+            _ptr_d(pts), n, n_neighbors, max_tris, _ptr_i(out))
+    if cnt < 0:
+        raise ValueError(f"epk_local_triangulations failed ({cnt})")
+    return out[:cnt]

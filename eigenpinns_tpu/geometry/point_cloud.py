@@ -172,16 +172,33 @@ def cotan_laplacian_from_soup(
 
 
 def point_cloud_laplacian(
-    points: np.ndarray, n_neighbors: int = 30, mollify_factor: float = 1e-5
+    points: np.ndarray, n_neighbors: int = 30, mollify_factor: float = 1e-5,
+    use_native: bool | None = None,
 ):
     """(L, M) for a raw point cloud — drop-in for
     `robust_laplacian.point_cloud_laplacian` (src/utils.py:174).
 
     L is symmetric PSD (weak cotan Laplacian), M diagonal lumped mass.
+    `use_native=None` auto-selects the C++ triangulation kernel
+    (csrc/geometry_kernels.cpp, ~10x the Python path) when built.
     """
     points = np.asarray(points, dtype=np.float64)
-    tris, weights = local_triangulations(points, n_neighbors=n_neighbors,
-                                         return_weights=True)
+    from eigenpinns_tpu.geometry import native as _native
+
+    if use_native is None:
+        use_native = _native.available()
+    if use_native:
+        soup = _native.local_triangulations_native(
+            points, n_neighbors=n_neighbors)
+        key = np.sort(soup, axis=1)
+        _, uniq, counts = np.unique(key, axis=0, return_index=True,
+                                    return_counts=True)
+        order = np.argsort(uniq)
+        tris = soup[uniq[order]]
+        weights = np.minimum(counts[order].astype(np.float64) / 3.0, 1.0)
+    else:
+        tris, weights = local_triangulations(
+            points, n_neighbors=n_neighbors, return_weights=True)
     return cotan_laplacian_from_soup(points, tris, mollify_factor,
                                      tri_weights=weights)
 

@@ -18,10 +18,15 @@ def knn_graph(X: np.ndarray, k: int) -> np.ndarray:
     neighbors (self excluded) — semantics of src/utils.py:63-75."""
     n = X.shape[0]
     k = min(k, n - 1)
-    tree = cKDTree(X)
-    _, idx = tree.query(X, k=k + 1)
+    from eigenpinns_tpu.geometry import native as _native
+
+    if _native.available():
+        cols = _native.knn_native(np.asarray(X, np.float64), k).reshape(-1)
+    else:
+        tree = cKDTree(X)
+        _, idx = tree.query(X, k=k + 1)
+        cols = idx[:, 1:].reshape(-1)
     rows = np.repeat(np.arange(n), k)
-    cols = idx[:, 1:].reshape(-1)
     return np.stack([rows, cols]).astype(np.int64)
 
 

@@ -25,8 +25,13 @@ def farthest_point_indices(points: np.ndarray, n_samples: int,
     if n_samples >= n:
         return np.arange(n)
     rng = np.random.default_rng(seed)
+    start = int(rng.integers(0, n))
+    from eigenpinns_tpu.geometry import native as _native
+
+    if _native.available():
+        return _native.fps_native(points, n_samples, start=start)
     selected = np.empty(n_samples, dtype=np.int64)
-    selected[0] = rng.integers(0, n)
+    selected[0] = start
     dist = np.full(n, np.inf)
     for i in range(1, n_samples):
         d = np.linalg.norm(points - points[selected[i - 1]], axis=1)

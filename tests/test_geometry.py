@@ -118,3 +118,36 @@ def test_bunny_ground_truth_eigenvalues(bunny_mesh):
     # Local-triangulation variant (no intrinsic Delaunay flips) -> allow a
     # modest discretization gap vs the C++ robust_laplacian values.
     assert rel.max() < 0.10, f"rel errors {rel}"
+
+
+def test_native_kernels_match_python(bunny_mesh):
+    """When the C++ library is built, its kernels must agree with the
+    Python reference paths."""
+    from eigenpinns_tpu.geometry import native
+
+    if not native.available():
+        import pytest as _pt
+
+        _pt.skip("native library not built")
+    X = bunny_mesh.verts[:400]
+    # kNN agreement vs cKDTree.
+    from scipy.spatial import cKDTree
+
+    idx_n = native.knn_native(X, 8)
+    _, idx_s = cKDTree(X).query(X, k=9)
+    agree = np.mean([
+        len(set(idx_n[i]) & set(idx_s[i, 1:])) / 8 for i in range(len(X))])
+    assert agree > 0.999
+    # Triangulation soup identical to the Python path.
+    from eigenpinns_tpu.geometry.point_cloud import local_triangulations
+
+    soup_n = native.local_triangulations_native(X, 12)
+    soup_p = local_triangulations(X, 12)
+    keys_n = set(map(tuple, np.sort(soup_n, axis=1)))
+    keys_p = set(map(tuple, np.sort(soup_p, axis=1)))
+    inter = len(keys_n & keys_p) / len(keys_p)
+    assert inter > 0.99, inter
+    # FPS covers space.
+    f = native.fps_native(X, 50)
+    d, _ = cKDTree(X[f]).query(X, k=1)
+    assert d.max() < 0.6
