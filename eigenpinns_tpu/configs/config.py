@@ -72,6 +72,11 @@ class Config:
     plateau_factor: float = 0.5
     seed: int = 0
     polish_iters: int = 0   # post-training LOBPCG polish (0 = reference parity)
+    normalize_in_loss: bool = False  # per-level M-normalize inside the loss
+                                     # (the voxel notebook's 'critical fix',
+                                     # cell 0:440-447)
+    w_zero_mean: float = 0.0         # (1^T M u_j)^2 for j>=1 (cell 0:459-468)
+    track_best: bool = False         # best-state restore (refine_fixed)
     checkpoint_dir: str = ""
     mesh_shape: list = dataclasses.field(default_factory=list)  # device mesh
     profile_dir: str = ""

@@ -14,6 +14,10 @@ from eigenpinns_tpu.geometry.fem import (
     gradient_operator,
 )
 from eigenpinns_tpu.geometry.geodesics import heat_geodesics, geodesic_ground_truth
+from eigenpinns_tpu.geometry.projection import (
+    project_points,
+    project_points_device,
+)
 from eigenpinns_tpu.geometry.point_cloud import (
     point_cloud_laplacian,
     mesh_laplacian,
@@ -26,6 +30,7 @@ __all__ = [
     "triangle_geometry", "element_stiffness", "element_mass",
     "assemble_coo", "assemble_stiffness_mass", "gradient_operator",
     "heat_geodesics", "geodesic_ground_truth",
+    "project_points", "project_points_device",
     "point_cloud_laplacian", "mesh_laplacian", "local_triangulations",
     "cotan_laplacian_from_soup",
 ]

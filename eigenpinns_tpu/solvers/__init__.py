@@ -20,6 +20,10 @@ from eigenpinns_tpu.solvers.schrodinger_driver import (
 from eigenpinns_tpu.solvers.upscale import hierarchical_eigensolve, UpscaleResult
 from eigenpinns_tpu.solvers.transfer import train_per_level, TransferResult
 from eigenpinns_tpu.solvers.eikonal_driver import solve_eikonal, EikonalResult
+from eigenpinns_tpu.solvers.poisson import (
+    solve_laplace_dirichlet,
+    solve_laplace_dirichlet_device,
+)
 from eigenpinns_tpu.solvers.oracle import (
     eigsh_smallest,
     solve_eigenvalue_point_cloud,
@@ -35,6 +39,7 @@ __all__ = [
     "solve_schrodinger", "SchrodingerResult", "SchrodingerMode",
     "hierarchical_eigensolve", "UpscaleResult", "train_per_level",
     "TransferResult", "solve_eikonal", "EikonalResult",
+    "solve_laplace_dirichlet", "solve_laplace_dirichlet_device",
     "eigsh_smallest", "solve_eigenvalue_point_cloud", "solve_eigenvalue_mesh",
     "orthonormalize_gs",
 ]

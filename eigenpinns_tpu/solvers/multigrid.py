@@ -35,6 +35,7 @@ from eigenpinns_tpu.losses import (
     projection,
     rayleigh_and_residual,
     trace_loss,
+    zero_mean,
 )
 from eigenpinns_tpu.models import make_corrector
 from eigenpinns_tpu.sparse import (
@@ -190,6 +191,8 @@ class MultigridTrainer:
             U_slices = []
             for i, (off, n, K, M) in enumerate(levels):
                 U_l = jax.lax.dynamic_slice_in_dim(U_pred, off, n, axis=0)
+                if cfg.normalize_in_loss:
+                    U_l = m_normalize_columns(U_l, M)
                 U_slices.append(U_l)
                 lam_l, res_l = rayleigh_and_residual(U_l, K, M)
                 lam_levels.append(lam_l)
@@ -198,6 +201,10 @@ class MultigridTrainer:
                 if cfg.weight_projection > 0 and i >= 1:
                     loss_proj = loss_proj + projection(
                         U_l, h.Pt_ops[i - 1], U_slices[i - 1])
+                if cfg.w_zero_mean > 0:
+                    loss_res = loss_res + (cfg.w_zero_mean
+                                           / cfg.weight_residual
+                                           ) * zero_mean(U_l, M)
             lam0 = lam_levels[0]
             loss_trace = trace_loss(lam0)
             loss_order = ordering(lam0)
@@ -237,11 +244,13 @@ class MultigridTrainer:
             early_stop_patience=cfg.early_stop_patience,
             log_every=cfg.log_every,
             log_fn=log_fn or (self._default_log if cfg.verbose else None),
+            track_best=cfg.track_best,
         )
 
         # Final predictions at full corrector scale
-        # (src/multigrid_model.py:359-384).
-        final_params = result.state.params
+        # (src/multigrid_model.py:359-384); optionally from the best state.
+        final_params = (result.best_state.params if cfg.track_best
+                        else result.state.params)
         corr = model.apply(final_params, feats, graph)
         U_pred = U_base + cfg.corrector_scale * corr
         U_levels = []

@@ -28,6 +28,7 @@ class LoopResult(NamedTuple):
     chunk_times: list       # [(n_epochs, seconds)] per chunk; chunk 0
                             # includes compilation — steady-state rate is
                             # sum(n)/sum(s) over chunks 1+
+    best_state: Any = None  # state at the best metric (track_best=True)
 
 
 def run_scan_loop(
@@ -39,6 +40,7 @@ def run_scan_loop(
     early_stop_metric: str = "loss",
     log_every: int = 0,
     log_fn: Callable | None = None,
+    track_best: bool = False,
 ) -> LoopResult:
     """Run `step_fn` for up to n_epochs, fused in jitted scan chunks.
 
@@ -53,18 +55,22 @@ def run_scan_loop(
     @partial(jax.jit, static_argnums=(2,))
     def run_chunk(carry, epoch0, length):
         def body(c, i):
-            state, best, patience = c
+            state, best, patience, best_state = c
             state, metrics = step_fn(state, epoch0 + i)
             val = metrics[early_stop_metric]
             improved = val < best
             best = jnp.where(improved, val, best)
             patience = jnp.where(improved, 0, patience + 1)
-            return (state, best, patience), metrics
+            if track_best:
+                best_state = jax.tree_util.tree_map(
+                    lambda b, s: jnp.where(improved, s, b),
+                    best_state, state)
+            return (state, best, patience, best_state), metrics
 
         return jax.lax.scan(body, carry, jnp.arange(length, dtype=jnp.int32))
 
     carry = (init_state, jnp.asarray(jnp.inf, dtype=jnp.float32),
-             jnp.asarray(0, dtype=jnp.int32))
+             jnp.asarray(0, dtype=jnp.int32), init_state)
     history: dict[str, list] = {}
     t0 = time.time()
     epochs_run = 0
@@ -92,4 +98,5 @@ def run_scan_loop(
 
     history = {k: np.concatenate(v) for k, v in history.items()}
     return LoopResult(carry[0], history, epochs_run, time.time() - t0,
-                      stopped, chunk_times)
+                      stopped, chunk_times,
+                      carry[3] if track_best else None)

@@ -1,0 +1,122 @@
+"""Projection, Poisson solves, profiling/debug utils, visualizations."""
+
+import numpy as np
+import pytest
+
+from eigenpinns_tpu.geometry import (
+    TriMesh,
+    project_points,
+    project_points_device,
+)
+from eigenpinns_tpu.solvers import (
+    solve_laplace_dirichlet,
+    solve_laplace_dirichlet_device,
+)
+from eigenpinns_tpu.utils import (
+    PhaseTimer,
+    assert_finite,
+    debug_nans,
+    deterministic_mode,
+)
+
+
+def square_mesh(n=10):
+    """Unit-square grid mesh in the z=0 plane."""
+    xs = np.linspace(0, 1, n)
+    X, Y = np.meshgrid(xs, xs, indexing="ij")
+    verts = np.stack([X.ravel(), Y.ravel(), np.zeros(n * n)], axis=1)
+    faces = []
+    for i in range(n - 1):
+        for j in range(n - 1):
+            a = i * n + j
+            faces.append([a, a + n, a + 1])
+            faces.append([a + 1, a + n, a + n + 1])
+    return TriMesh(verts, np.asarray(faces, np.int32))
+
+
+def test_project_points_onto_plane():
+    mesh = square_mesh(8)
+    q = np.array([[0.33, 0.41, 0.7], [0.9, 0.1, -0.2], [-0.5, 0.5, 0.1]])
+    proj, fidx, bary = project_points(mesh, q)
+    # Interior points project straight down; outside points clamp to edge.
+    assert np.allclose(proj[0], [0.33, 0.41, 0.0], atol=1e-9)
+    assert np.allclose(proj[1], [0.9, 0.1, 0.0], atol=1e-9)
+    assert np.allclose(proj[2], [0.0, 0.5, 0.0], atol=1e-9)
+    assert np.allclose(bary.sum(axis=1), 1.0, atol=1e-9)
+    # Device variant agrees.
+    proj_d, _ = project_points_device(mesh.verts, mesh.faces, q)
+    assert np.abs(np.asarray(proj_d) - proj).max() < 1e-5
+
+
+def test_laplace_dirichlet_linear_solution():
+    """Harmonic on the square with u = x on the boundary -> u = x."""
+    from eigenpinns_tpu.geometry import assemble_stiffness_mass
+
+    mesh = square_mesh(9)
+    K, _ = assemble_stiffness_mass(mesh)
+    v = mesh.verts
+    boundary = np.where(
+        (np.abs(v[:, 0]) < 1e-12) | (np.abs(v[:, 0] - 1) < 1e-12)
+        | (np.abs(v[:, 1]) < 1e-12) | (np.abs(v[:, 1] - 1) < 1e-12))[0]
+    u = solve_laplace_dirichlet(K, boundary, v[boundary, 0])
+    assert np.abs(u - v[:, 0]).max() < 1e-8
+
+    # Device CG path agrees.
+    import jax.numpy as jnp
+
+    from eigenpinns_tpu.sparse import as_operator
+
+    mask = np.zeros(mesh.n_verts, bool)
+    mask[boundary] = True
+    vals = np.zeros(mesh.n_verts)
+    vals[boundary] = v[boundary, 0]
+    u_d = solve_laplace_dirichlet_device(
+        as_operator(K), jnp.asarray(mask), jnp.asarray(vals,
+                                                       jnp.float32),
+        cg_iters=300)
+    assert np.abs(np.asarray(u_d) - v[:, 0]).max() < 1e-3
+
+
+def test_phase_timer():
+    t = PhaseTimer()
+    with t.phase("a"):
+        pass
+    with t.phase("a"):
+        pass
+    with t.phase("b"):
+        pass
+    rep = t.report()
+    assert "a" in rep and "TOTAL" in rep
+    assert t.counts["a"] == 2
+
+
+def test_debug_utils():
+    key = deterministic_mode(3)
+    assert key is not None
+    assert_finite({"x": np.ones(3)})
+    with pytest.raises(FloatingPointError):
+        assert_finite({"x": np.array([1.0, np.nan])})
+    import jax
+    import jax.numpy as jnp
+
+    with debug_nans():
+        with pytest.raises(FloatingPointError):
+            jax.jit(lambda x: jnp.log(x))(jnp.asarray(-1.0)).block_until_ready()
+
+
+def test_visualizations(tmp_path, coarse1_mesh):
+    from eigenpinns_tpu.diagnostics import (
+        plot_eigenfunctions,
+        plot_loss_history,
+        plot_mesh,
+    )
+
+    plot_mesh(coarse1_mesh, str(tmp_path / "mesh.png"),
+              highlight_indices=[0, 5, 10])
+    U = np.random.default_rng(0).normal(size=(coarse1_mesh.n_verts, 4))
+    plot_eigenfunctions(coarse1_mesh, U, str(tmp_path / "modes.png"),
+                        modes=(0, 1))
+    plot_loss_history({"loss": np.geomspace(1, 1e-3, 50)},
+                      str(tmp_path / "hist.png"))
+    for f in ("mesh.png", "modes.png", "hist.png"):
+        assert (tmp_path / f).stat().st_size > 1000

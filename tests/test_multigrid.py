@@ -124,3 +124,11 @@ def test_reference_parameters_yml_loads():
     assert cfg.hierarchy == [256, 512, 1024]
     assert cfg.weight_residual == 1000.0
     assert cfg.hidden_layers == [256] * 6
+
+
+def test_multigrid_new_options(small_hierarchy):
+    """normalize_in_loss + zero-mean + best-state tracking run end-to-end."""
+    cfg = small_config(epochs=80, normalize_in_loss=True, w_zero_mean=1.0,
+                       track_best=True)
+    result = MultigridTrainer(cfg).train(small_hierarchy)
+    assert np.isfinite(result.eigenvalues).all()
