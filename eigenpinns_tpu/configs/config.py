@@ -64,6 +64,7 @@ class Config:
     # --- TPU-framework extensions (not in the reference) ---
     dtype: str = "float32"
     coarse_solver: str = "eigsh"          # 'eigsh' (host) | 'lobpcg' (device)
+    operator_format: str = "ell"           # 'ell' | 'banded' | 'auto'
     pc_neighbors: int = 30                 # point-cloud Laplacian kNN
     scan_chunk: int = 100                  # epochs fused per jitted scan
     early_stop_patience: int = 5000        # src/multigrid_model.py:234

@@ -38,6 +38,7 @@ def main(config) -> np.ndarray:
         pc_neighbors=config.pc_neighbors,
         coarse_solver=config.coarse_solver,
         seed=config.seed,
+        operator_format=config.operator_format,
     )
 
     print("Training physics-informed multiresolution GNN...")
@@ -57,7 +58,8 @@ def main(config) -> np.ndarray:
         # the finest level's geometry.
         finest_mesh = hierarchy.meshes[-1]
         save_eigenfunctions(config.vtu_file, finest_mesh,
-                            result.eigenvectors, config.n_modes)
+                            hierarchy.to_original_order(result.eigenvectors),
+                            config.n_modes)
 
     print("Run diagnostics...")
     comprehensive_diagnostics(

@@ -57,6 +57,19 @@ class Hierarchy:
     meshes: list[TriMesh]
     indices_per_level: list[np.ndarray]
     coarse_eigenvalues: np.ndarray
+    perms: list[np.ndarray] | None = None  # per-level RCM permutations
+                                           # (banded format); None = identity
+
+    def to_original_order(self, U_finest: np.ndarray) -> np.ndarray:
+        """Map finest-level rows back to the input mesh's vertex order
+        (needed after banded-format training, whose levels are
+        RCM-permuted)."""
+        if self.perms is None:
+            return U_finest
+        perm = self.perms[-1]
+        out = np.empty_like(U_finest)
+        out[perm] = U_finest
+        return out
 
     @property
     def n_levels(self) -> int:
@@ -84,6 +97,8 @@ def build_hierarchy(
     jacobi_iters: int = 10,
     seed: int = 0,
     dtype=jnp.float32,
+    operator_format: str = "ell",   # 'ell' | 'banded' | 'auto'
+    max_bandwidth: int = 4096,
 ) -> Hierarchy:
     """Build the full multiresolution problem (Sampler.preprocess_mesh
     parity, src/samplers.py:283-286)."""
@@ -125,6 +140,49 @@ def build_hierarchy(
 
     actual = [x.shape[0] for x in X_list]
 
+    # Optional RCM permutation per level for the banded-dense format
+    # (sparse/banded.py: contiguous-window MXU SpMM, measured ~18x over
+    # the gather path at 300k nodes). Every per-level array below is
+    # permuted consistently; `perms` lets consumers map back.
+    perms = None
+    banded_ops: list = []
+    if operator_format in ("banded", "auto"):
+        from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+        from eigenpinns_tpu.sparse.banded import BandedELL
+
+        perms = []
+        ok = True
+        new_K, new_M, new_X, new_idx = [], [], [], []
+        for i, (K, M) in enumerate(zip(K_sp, M_sp)):
+            perm = np.asarray(reverse_cuthill_mckee(K.tocsr(),
+                                                    symmetric_mode=True))
+            Kp = K.tocsr()[perm][:, perm].tocsr()
+            Mp = M.tocsr()[perm][:, perm].tocsr()
+            try:
+                op = BandedELL.from_scipy(Kp, dtype=dtype, reorder=False,
+                                          max_bandwidth=max_bandwidth)[0]
+            except ValueError:
+                ok = False
+                break
+            banded_ops.append(op)
+            perms.append(perm)
+            new_K.append(Kp)
+            new_M.append(Mp)
+            new_X.append(X_list[i][perm])
+            if indices:
+                new_idx.append(np.asarray(indices[i])[perm])
+        if ok:
+            K_sp, M_sp, X_list = new_K, new_M, new_X
+            if indices:
+                indices = new_idx
+        else:
+            if operator_format == "banded":
+                raise ValueError(
+                    "banded operator_format requested but a level exceeds "
+                    f"max_bandwidth={max_bandwidth}")
+            perms, banded_ops = None, []
+
     # Edge lists.
     edge_index_list = []
     if (sampler_type == "graph_coarsening"
@@ -134,8 +192,23 @@ def build_hierarchy(
         edge_index_list = [knn_graph(X, k=k_neighbors) for X in X_list]
 
     # Canonical device operators (built once — see module docstring).
-    K_ops = [as_operator(K, dtype=dtype) for K in K_sp]
-    M_ops = [as_operator(M, dtype=dtype) for M in M_sp]
+    if banded_ops:
+        from eigenpinns_tpu.sparse.banded import BandedELL as _B
+
+        K_ops = banded_ops
+        M_ops = []
+        for M in M_sp:
+            op = as_operator(M, dtype=dtype)
+            if not hasattr(op, "diag"):
+                # Consistent (non-lumped) mass: band it with the SAME
+                # (already-applied) permutation — FEM K and M share a
+                # sparsity pattern, hence a bandwidth.
+                op = _B.from_scipy(M.tocsr(), dtype=dtype, reorder=False,
+                                   max_bandwidth=max_bandwidth)[0]
+            M_ops.append(op)
+    else:
+        K_ops = [as_operator(K, dtype=dtype) for K in K_sp]
+        M_ops = [as_operator(M, dtype=dtype) for M in M_sp]
 
     # Coarsest-level exact solve.
     if coarse_solver == "eigsh":
@@ -167,4 +240,5 @@ def build_hierarchy(
         edge_index_list=edge_index_list, actual_hierarchy=actual,
         meshes=meshes, indices_per_level=list(indices),
         coarse_eigenvalues=np.asarray(vals0),
+        perms=perms,
     )

@@ -176,20 +176,32 @@ class MultigridTrainer:
 
         offsets = h.node_offsets
         sizes = h.actual_hierarchy
-        lam_target = lam_list[0]
-        levels = list(zip(offsets, sizes, h.K_ops, h.M_ops))
 
-        def loss_fn(params, epoch):
-            corr_raw = model.apply(params, feats, graph)
+        # Everything large travels as a jit ARGUMENT through the scan loop
+        # (closure-captured arrays get baked into the executable: 2x HBM
+        # and compile-payload blowups at scale — see train/loop docstring).
+        data = {
+            "feats": feats,
+            "U_base": U_base,
+            "graph": graph,
+            "lam_target": lam_list[0],
+            "K_ops": tuple(h.K_ops),
+            "M_ops": tuple(h.M_ops),
+            "Pt_ops": tuple(h.Pt_ops),
+        }
+
+        def loss_fn(params, epoch, data):
+            corr_raw = model.apply(params, data["feats"], data["graph"])
             ramp = jnp.minimum(1.0, epoch.astype(jnp.float32)
                                / float(cfg.scale_ramp_epochs))
-            U_pred = U_base + cfg.corrector_scale * ramp * corr_raw
+            U_pred = data["U_base"] + cfg.corrector_scale * ramp * corr_raw
             loss_res = 0.0
             loss_orth = 0.0
             loss_proj = 0.0
             lam_levels = []
             U_slices = []
-            for i, (off, n, K, M) in enumerate(levels):
+            for i, (off, n) in enumerate(zip(offsets, sizes)):
+                K, M = data["K_ops"][i], data["M_ops"][i]
                 U_l = jax.lax.dynamic_slice_in_dim(U_pred, off, n, axis=0)
                 if cfg.normalize_in_loss:
                     U_l = m_normalize_columns(U_l, M)
@@ -200,7 +212,7 @@ class MultigridTrainer:
                 loss_orth = loss_orth + gram_orthogonality(U_l, M)
                 if cfg.weight_projection > 0 and i >= 1:
                     loss_proj = loss_proj + projection(
-                        U_l, h.Pt_ops[i - 1], U_slices[i - 1])
+                        U_l, data["Pt_ops"][i - 1], U_slices[i - 1])
                 if cfg.w_zero_mean > 0:
                     loss_res = loss_res + (cfg.w_zero_mean
                                            / cfg.weight_residual
@@ -208,7 +220,7 @@ class MultigridTrainer:
             lam0 = lam_levels[0]
             loss_trace = trace_loss(lam0)
             loss_order = ordering(lam0)
-            loss_eigen = eigenvalue_target(lam0, lam_target)
+            loss_eigen = eigenvalue_target(lam0, data["lam_target"])
             total = (cfg.weight_residual * loss_res
                      + cfg.weight_orthogonal * loss_orth
                      + cfg.weight_projection * loss_proj
@@ -227,9 +239,9 @@ class MultigridTrainer:
             }
             return total, metrics
 
-        def step(state: MGState, epoch):
+        def step(state: MGState, epoch, data):
             (total, metrics), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(state.params, epoch)
+                loss_fn, has_aux=True)(state.params, epoch, data)
             updates, opt_state = opt.update(grads, state.opt_state,
                                             state.params)
             updates, plateau_state = plateau.update(
@@ -245,6 +257,7 @@ class MultigridTrainer:
             log_every=cfg.log_every,
             log_fn=log_fn or (self._default_log if cfg.verbose else None),
             track_best=cfg.track_best,
+            data=data,
         )
 
         # Final predictions at full corrector scale
@@ -255,7 +268,7 @@ class MultigridTrainer:
         U_pred = U_base + cfg.corrector_scale * corr
         U_levels = []
         lam_levels = []
-        for off, n, K, M in levels:
+        for off, n, K, M in zip(offsets, sizes, h.K_ops, h.M_ops):
             U_l = m_normalize_columns(U_pred[off:off + n], M)
             U_levels.append(U_l)
             lam_levels.append(np.asarray(rayleigh_ritz(U_l, K, M)[0]))

@@ -72,6 +72,18 @@ class BandedELL:
     def bandwidth(self) -> int:
         return self.band.shape[1]
 
+    @property
+    def shape(self):
+        return (self.n, self.n_cols)
+
+    def diagonal(self) -> jax.Array:
+        """Main diagonal: row i's entry sits at band[i, i - starts[tile]]."""
+        n_pad = self.band.shape[0]
+        rows = jnp.arange(n_pad)
+        local = rows - self.starts[rows // self.tile]
+        local = jnp.clip(local, 0, self.bandwidth - 1)
+        return self.band[rows, local][: self.n]
+
     @classmethod
     def from_scipy(cls, A, dtype=jnp.float32, tile: int = 128,
                    reorder: bool = True, max_bandwidth: int = 4096):
@@ -162,26 +174,36 @@ def banded_spmm_reference(A: BandedELL, U: jax.Array) -> jax.Array:
     return out.reshape(-1, U.shape[1])[: A.n]
 
 
-def banded_spmm(A: BandedELL, U: jax.Array,
-                use_pallas: bool | None = None) -> jax.Array:
-    """Banded SpMM with a scatter-free custom VJP (symmetric operators:
-    backward = the same banded SpMM applied to the cotangent)."""
-    if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
-    fwd_impl = banded_spmm_pallas if use_pallas else banded_spmm_reference
+def _banded_impl(A: BandedELL, U: jax.Array) -> jax.Array:
+    if jax.default_backend() == "tpu":
+        return banded_spmm_pallas(A, U)
+    return banded_spmm_reference(A, U)
 
-    @jax.custom_vjp
-    def f(U):
-        return fwd_impl(A, U)
 
-    def f_fwd(U):
-        return f(U), None
+@jax.custom_vjp
+def banded_spmm(A: BandedELL, U: jax.Array) -> jax.Array:
+    """Banded SpMM (symmetric operators) with a matching-kernel VJP.
 
-    def f_bwd(_, g):
-        return (fwd_impl(A, g),)
+    The backward w.r.t. U is the same banded SpMM applied to the
+    cotangent. The operator itself is treated as a CONSTANT of the
+    optimization (zero cotangent) — differentiate through `spmm` on the
+    ELL path if operator gradients are ever needed.
+    """
+    return _banded_impl(A, U)
 
-    f.defvjp(f_fwd, f_bwd)
-    return f(U)
+
+def _banded_fwd(A, U):
+    return _banded_impl(A, U), A
+
+
+def _banded_bwd(A, g):
+    dA = BandedELL(jnp.zeros_like(A.band),
+                   np.zeros(A.starts.shape, jax.dtypes.float0),
+                   A.n, A.n_cols, A.tile)
+    return (dA, _banded_impl(A, g))
+
+
+banded_spmm.defvjp(_banded_fwd, _banded_bwd)
 
 
 def banded_spmm_pallas(A: BandedELL, U: jax.Array,

@@ -83,6 +83,10 @@ def spmm(A, U: jax.Array) -> jax.Array:
     if isinstance(A, SparseELL):
         t = A.transpose_ell if A.transpose_ell is not None else A
         return _ell_spmm(A.indices, A.values, t.indices, t.values, U)
+    from eigenpinns_tpu.sparse.banded import BandedELL, banded_spmm
+
+    if isinstance(A, BandedELL):
+        return banded_spmm(A, U)
     raise TypeError(f"unsupported operator {type(A)}")
 
 

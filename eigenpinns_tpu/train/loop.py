@@ -41,6 +41,7 @@ def run_scan_loop(
     log_every: int = 0,
     log_fn: Callable | None = None,
     track_best: bool = False,
+    data: Any = None,
 ) -> LoopResult:
     """Run `step_fn` for up to n_epochs, fused in jitted scan chunks.
 
@@ -49,14 +50,23 @@ def run_scan_loop(
     metric fails to improve on its best and the loop stops when the
     counter exceeds the patience. The counter is tracked inside the scan
     carry so fusing does not change behavior.
+
+    `data` (optional pytree) is forwarded to step_fn(state, epoch, data)
+    as a JIT ARGUMENT. Large constants (operators, features) must travel
+    this way, not as closures: closure-captured arrays are baked into the
+    compiled program, which doubles HBM and can exceed compile-payload
+    limits (observed as HTTP 413 on the tunneled TPU at ~300MB).
     """
     import numpy as np
 
-    @partial(jax.jit, static_argnums=(2,))
-    def run_chunk(carry, epoch0, length):
+    @partial(jax.jit, static_argnums=(3,))
+    def run_chunk(carry, data, epoch0, length):
         def body(c, i):
             state, best, patience, best_state = c
-            state, metrics = step_fn(state, epoch0 + i)
+            if data is None:
+                state, metrics = step_fn(state, epoch0 + i)
+            else:
+                state, metrics = step_fn(state, epoch0 + i, data)
             val = metrics[early_stop_metric]
             improved = val < best
             best = jnp.where(improved, val, best)
@@ -79,8 +89,9 @@ def run_scan_loop(
     while epochs_run < n_epochs:
         t_chunk = time.time()
         length = min(chunk, n_epochs - epochs_run)
-        carry, metrics = run_chunk(carry, jnp.asarray(epochs_run,
-                                                      jnp.int32), length)
+        carry, metrics = run_chunk(carry, data,
+                                   jnp.asarray(epochs_run, jnp.int32),
+                                   length)
         metrics = {k: np.asarray(v) for k, v in metrics.items()}
         chunk_times.append((length, time.time() - t_chunk))
         for k, v in metrics.items():

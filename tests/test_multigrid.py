@@ -132,3 +132,23 @@ def test_multigrid_new_options(small_hierarchy):
                        track_best=True)
     result = MultigridTrainer(cfg).train(small_hierarchy)
     assert np.isfinite(result.eigenvalues).all()
+
+
+def test_multigrid_banded_format(coarse1_mesh):
+    """The banded operator format trains end-to-end and maps back to the
+    original vertex order."""
+    h = build_hierarchy(coarse1_mesh, [64, 120], n_modes=4,
+                        sampler_type="farthest_point", pc_neighbors=15,
+                        operator_format="auto")
+    assert h.perms is not None
+    cfg = small_config(n_modes=4, epochs=100, polish_iters=150)
+    result = MultigridTrainer(cfg).train(h)
+    from eigenpinns_tpu.solvers.oracle import eigsh_smallest
+
+    vals, _ = eigsh_smallest(h.K_scipy[-1], h.M_scipy[-1], 4)
+    rel = np.abs(result.eigenvalues[1:] - vals[1:]) / vals[1:]
+    assert rel.max() < 0.01, (result.eigenvalues, vals)
+    U_orig = h.to_original_order(result.eigenvectors)
+    assert U_orig.shape == result.eigenvectors.shape
+    # Round trip: permuting back must invert.
+    assert np.allclose(U_orig[h.perms[-1]], result.eigenvectors)
