@@ -44,7 +44,7 @@ def main() -> None:
     t0 = time.time()
     hierarchy = build_hierarchy(
         mesh, [128, 512, 1024], n_modes=10,
-        sampler_type="farthest_point", seed=0)
+        sampler_type="farthest_point", seed=0, operator_format="auto")
     log(f"hierarchy {hierarchy.actual_hierarchy} in {time.time()-t0:.1f}s")
 
     cfg = Config(
