@@ -9,6 +9,8 @@ from eigenpinns_tpu.solvers.smoothers import (
     jacobi_smooth,
     cg_solve,
     coarse_grid_correction,
+    smooth_eigenfunctions,
+    m_orthonormalize_cholesky,
 )
 from eigenpinns_tpu.solvers.direct import train_joint, DirectResult
 from eigenpinns_tpu.solvers.deflation import solve_deflation, DeflationResult
@@ -24,6 +26,7 @@ from eigenpinns_tpu.solvers.poisson import (
     solve_laplace_dirichlet,
     solve_laplace_dirichlet_device,
 )
+from eigenpinns_tpu.solvers.batched import train_joint_family, BatchedResult
 from eigenpinns_tpu.solvers.oracle import (
     eigsh_smallest,
     solve_eigenvalue_point_cloud,
@@ -35,11 +38,13 @@ __all__ = [
     "eigh_generalized", "filtered_whiten", "rayleigh_ritz",
     "rayleigh_ritz_robust", "lobpcg", "lobpcg_from_random", "LobpcgResult",
     "jacobi_smooth", "cg_solve", "coarse_grid_correction",
+    "smooth_eigenfunctions", "m_orthonormalize_cholesky",
     "train_joint", "DirectResult", "solve_deflation", "DeflationResult",
     "solve_schrodinger", "SchrodingerResult", "SchrodingerMode",
     "hierarchical_eigensolve", "UpscaleResult", "train_per_level",
     "TransferResult", "solve_eikonal", "EikonalResult",
     "solve_laplace_dirichlet", "solve_laplace_dirichlet_device",
+    "train_joint_family", "BatchedResult",
     "eigsh_smallest", "solve_eigenvalue_point_cloud", "solve_eigenvalue_mesh",
     "orthonormalize_gs",
 ]

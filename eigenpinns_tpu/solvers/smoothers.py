@@ -36,6 +36,56 @@ def jacobi_smooth(M, K, U_rough: jax.Array, alpha: float = 0.05,
 
 
 @partial(jax.jit, static_argnames=("n_iters",))
+def smooth_eigenfunctions(M, K, U: jax.Array, tau: float = 0.1,
+                          n_iters: int = 30) -> jax.Array:
+    """Implicit spectral smoothing: solve (M + tau K) U_new = M U.
+
+    Parity with `smooth_eigenfunctions`
+    (multigrid_gnn_refine_fixed.ipynb cell 4:556-576), which used a host
+    spsolve; here the SPD system is solved by on-device CG.
+    """
+    rhs = spmm(M, U)
+
+    def matvec(X):
+        return spmm(M, X) + tau * spmm(K, X)
+
+    X = U
+    R = rhs - matvec(X)
+    P = R
+    rs = jnp.sum(R * R, axis=0)
+
+    def body(_, carry):
+        X, R, P, rs = carry
+        AP = matvec(P)
+        alpha = rs / jnp.clip(jnp.sum(P * AP, axis=0), 1e-30)
+        X = X + P * alpha[None, :]
+        R = R - AP * alpha[None, :]
+        rs_new = jnp.sum(R * R, axis=0)
+        beta = rs_new / jnp.clip(rs, 1e-30)
+        P = R + P * beta[None, :]
+        return X, R, P, rs_new
+
+    X, _, _, _ = jax.lax.fori_loop(0, n_iters, body, (X, R, P, rs))
+    return X
+
+
+def m_orthonormalize_cholesky(U: jax.Array, M) -> jax.Array:
+    """Cholesky M-orthonormalization: U (U^T M U)^{-1/2} via triangular
+    solve — parity with `m_orthonormalize`
+    (multigrid_gnn_refine_fixed.ipynb cell 4:578-599; its Cholesky-failure
+    fallback is unnecessary here because callers with suspect bases use
+    `filtered_whiten`)."""
+    from eigenpinns_tpu.sparse import gram
+
+    G = gram(U, spmm(M, U))
+    G = 0.5 * (G + G.T)
+    L = jnp.linalg.cholesky(G)
+    # U_orth = U L^{-T}
+    return jax.scipy.linalg.solve_triangular(
+        L, U.T, lower=True).T
+
+
+@partial(jax.jit, static_argnames=("n_iters",))
 def cg_solve(A, B_rhs: jax.Array, n_iters: int = 50,
              ridge: float = 0.0) -> jax.Array:
     """Blocked conjugate gradient for (A + ridge I) X = B_rhs, X: (N, k).

@@ -73,3 +73,32 @@ def test_deflation_sequential_modes(sphere_problem):
     U = res.eigenvectors
     g01 = abs(float(U[:, 0] @ (M @ U[:, 1])))
     assert g01 < 0.05
+
+
+def test_train_joint_family_batched(rng):
+    """vmap-batched training over a family of sphere clouds: every mesh's
+    low modes land near its own oracle."""
+    from eigenpinns_tpu.geometry import point_cloud_laplacian
+    from eigenpinns_tpu.solvers import train_joint_family
+
+    K_list, M_list, X_list, oracles = [], [], [], []
+    for f in range(3):
+        r = np.random.default_rng(10 + f)
+        X = r.normal(size=(150 + 20 * f, 3))
+        X /= np.linalg.norm(X, axis=1, keepdims=True)
+        X *= (1.0 + 0.2 * f)  # different radii -> different spectra
+        L, M = point_cloud_laplacian(X, n_neighbors=12)
+        K_list.append(L)
+        M_list.append(M)
+        X_list.append(X)
+        from eigenpinns_tpu.solvers import eigsh_smallest
+
+        oracles.append(eigsh_smallest(L, M, 3)[0])
+    res = train_joint_family(K_list, M_list, X_list, n_modes=3,
+                             hidden=(48, 48), epochs=2500, seed=0)
+    assert res.eigenvalues.shape == (3, 3)
+    for f in range(3):
+        rel = abs(res.eigenvalues[f][1] - oracles[f][1]) / oracles[f][1]
+        assert rel < 0.15, (f, res.eigenvalues[f], oracles[f])
+    # Different radii produce different lambda_1.
+    assert res.eigenvalues[0][1] > res.eigenvalues[2][1]
