@@ -73,6 +73,8 @@ class Config:
     plateau_factor: float = 0.5
     seed: int = 0
     polish_iters: int = 0   # post-training LOBPCG polish (0 = reference parity)
+    polish_guard: int = 3   # extra guard vectors in the polish block (the
+                            # edge mode of a LOBPCG block converges poorly)
     normalize_in_loss: bool = False  # per-level M-normalize inside the loss
                                      # (the voxel notebook's 'critical fix',
                                      # cell 0:440-447)

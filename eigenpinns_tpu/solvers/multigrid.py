@@ -284,11 +284,20 @@ class MultigridTrainer:
             # Framework extension beyond the reference: a few LOBPCG
             # iterations warm-started from the learned subspace drive the
             # eigenpairs to solver-grade accuracy entirely on device.
+            # Guard vectors pad the block: the edge mode of a LOBPCG block
+            # converges far more slowly than interior modes.
             from eigenpinns_tpu.solvers.lobpcg import lobpcg
 
-            res = lobpcg(h.K_ops[-1], h.M_ops[-1], U_ref, k=k,
+            g = int(cfg.polish_guard)
+            X0 = U_ref
+            if g > 0:
+                extra = jax.random.normal(
+                    jax.random.PRNGKey(cfg.seed + 7),
+                    (U_ref.shape[0], g), U_ref.dtype)
+                X0 = jnp.concatenate([U_ref, extra], axis=1)
+            res = lobpcg(h.K_ops[-1], h.M_ops[-1], X0, k=k + g,
                          max_iter=cfg.polish_iters, tol=1e-7)
-            vals, U_ref = res.eigenvalues, res.eigenvectors
+            vals, U_ref = res.eigenvalues[:k], res.eigenvectors[:, :k]
         vals = np.asarray(vals)
         U_ref = np.asarray(U_ref)
 
