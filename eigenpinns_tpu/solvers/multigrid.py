@@ -250,15 +250,36 @@ class MultigridTrainer:
                 lambda p, u: p + u, state.params, updates)
             return MGState(params, opt_state, plateau_state), metrics
 
-        result: LoopResult = run_scan_loop(
-            step, MGState(params, opt_state, plateau_state),
-            n_epochs=cfg.epochs, chunk=cfg.scan_chunk,
-            early_stop_patience=cfg.early_stop_patience,
-            log_every=cfg.log_every,
-            log_fn=log_fn or (self._default_log if cfg.verbose else None),
-            track_best=cfg.track_best,
-            data=data,
-        )
+        import contextlib
+
+        from eigenpinns_tpu.utils.profiling import trace as profiler_trace
+
+        prof = (profiler_trace(cfg.profile_dir) if cfg.profile_dir
+                else contextlib.nullcontext())
+        # Resume from the newest checkpoint when a checkpoint_dir is set.
+        start_state = MGState(params, opt_state, plateau_state)
+        ckptr = None
+        if cfg.checkpoint_dir:
+            from eigenpinns_tpu.train.checkpoint import TrainCheckpointer
+
+            ckptr = TrainCheckpointer(cfg.checkpoint_dir)
+            prev_step, prev = ckptr.restore_latest(target=start_state)
+            if prev is not None:
+                start_state = prev
+
+        with prof:
+            result: LoopResult = run_scan_loop(
+                step, start_state,
+                n_epochs=cfg.epochs, chunk=cfg.scan_chunk,
+                early_stop_patience=cfg.early_stop_patience,
+                log_every=cfg.log_every,
+                log_fn=log_fn or (self._default_log if cfg.verbose
+                                  else None),
+                track_best=cfg.track_best,
+                data=data,
+            )
+        if ckptr is not None:
+            ckptr.save(result.epochs_run, result.state)
 
         # Final predictions at full corrector scale
         # (src/multigrid_model.py:359-384); optionally from the best state.

@@ -152,3 +152,39 @@ def test_multigrid_banded_format(coarse1_mesh):
     assert U_orig.shape == result.eigenvectors.shape
     # Round trip: permuting back must invert.
     assert np.allclose(U_orig[h.perms[-1]], result.eigenvectors)
+
+
+def test_multigrid_checkpoint_resume(small_hierarchy, tmp_path):
+    """checkpoint_dir saves the final state and a second run resumes it."""
+    cfg = small_config(epochs=60, checkpoint_dir=str(tmp_path / "ck"))
+    MultigridTrainer(cfg).train(small_hierarchy)
+    import os
+
+    saved = os.listdir(tmp_path / "ck")
+    assert any(s.startswith("step_") for s in saved)
+    # Resume: runs again starting from the restored state without error.
+    result2 = MultigridTrainer(cfg).train(small_hierarchy)
+    assert np.isfinite(result2.eigenvalues).all()
+
+
+def test_cli_end_to_end(tmp_path):
+    """The CLI pipeline runs on coarse_1 and writes VTU + diagnostics."""
+    from eigenpinns_tpu.main import cli
+
+    vtu = tmp_path / "out.vtu"
+    png = tmp_path / "diag.png"
+    cli([
+        "--override",
+        "mesh_file=/root/reference/resources/coarse_1.obj",
+        "n_modes=4", "hierarchy=[64,120]", "hidden_layers=[16,16]",
+        "epochs=30", "scan_chunk=30", "pc_neighbors=15",
+        f"vtu_file={vtu}", f"diagnostics_viz={png}",
+        "polish_iters=50", "operator_format=auto",
+    ])
+    assert vtu.stat().st_size > 1000
+    assert png.stat().st_size > 1000
+    from eigenpinns_tpu.io import read_vtu
+
+    pts, tris, pd = read_vtu(str(vtu))
+    assert pts.shape[0] == 187
+    assert set(pd) == {"v0", "v1", "v2", "v3"}
