@@ -57,6 +57,8 @@ def solve_deflation(
     w_defl: float = 100.0,
     lambda_delta: float = 0.15,
     rayleigh_lambda: bool = False,
+    polish_iters: int = 0,
+
     ema_decay: float = 0.99,
     ema_slope_tol: float = 1e-7,
     seed: int = 0,
@@ -138,6 +140,27 @@ def solve_deflation(
             u = u - (u @ spmm(M, uj[:, None])[:, 0]) * uj
         norm = jnp.sqrt(u @ spmm(M, u[:, None])[:, 0] + 1e-12)
         u = u / norm
+        if polish_iters > 0:
+            # Snap the new mode (and refresh the found block) with a short
+            # block-LOBPCG warm-started from [found | u]: removes the
+            # driver's warm-start sensitivity (the reference's recorded
+            # lambdas never escaped lam_prev + 0.15, BASELINE.md) and
+            # yields solver-grade eigenvalues per mode.
+            from eigenpinns_tpu.solvers.lobpcg import lobpcg
+
+            if found_u:
+                X0 = jnp.concatenate(
+                    [jnp.stack(found_u, axis=1), u[:, None]], axis=1)
+            else:
+                X0 = u[:, None]
+            res = lobpcg(K, M, X0, k=X0.shape[1],
+                         max_iter=polish_iters, tol=1e-7)
+            lam_all, U_all = res.eigenvalues, res.eigenvectors
+            found_u = [U_all[:, j] for j in range(U_all.shape[1])]
+            found_lam = [float(v) for v in np.asarray(lam_all)]
+            lam_init = found_lam[-1]
+            histories[-1]["polished_lambda"] = np.asarray(lam_all)
+            continue
         found_u.append(u)
         lam_val = float(lam)
         found_lam.append(lam_val)

@@ -102,3 +102,14 @@ def test_train_joint_family_batched(rng):
         assert rel < 0.15, (f, res.eigenvalues[f], oracles[f])
     # Different radii produce different lambda_1.
     assert res.eigenvalues[0][1] > res.eigenvalues[2][1]
+
+
+def test_deflation_with_polish(sphere_problem):
+    """Per-mode LOBPCG polish makes the driver warm-start-insensitive:
+    solver-grade eigenvalues with the naive default delta."""
+    X, Kop, Mop, L, M, vals, _ = sphere_problem
+    res = solve_deflation(Kop, Mop, X, n_modes=3, hidden=(32, 32),
+                          epochs_per_mode=500, lr=2e-3, seed=0,
+                          polish_iters=200)
+    rel = np.abs(res.eigenvalues[1:] - vals[1:3]) / vals[1:3]
+    assert rel.max() < 0.01, (res.eigenvalues, vals[:3])
