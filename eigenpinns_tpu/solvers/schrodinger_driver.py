@@ -81,6 +81,7 @@ def solve_schrodinger(
     w_res: float = 1.0,
     w_norm: float = 100.0,
     w_defl: float = 1000.0,
+    w_anchor: float = 1.0,
     lambda_init: float = 1.0,
     lambda_growth: float = 1.6,
     seed: int = 0,
@@ -131,6 +132,24 @@ def solve_schrodinger(
                     lambda uj: mc_inner(u_q, uj, volume),
                     in_axes=1)(U_prev)
                 loss = loss + w_defl * jnp.sum(inner**2)
+            if w_anchor > 0:
+                # Anchor the learnable lambda to the Rayleigh quotient of
+                # the CURRENT function: lam_R = <1/2 u'^2 + V u^2>/<u^2>.
+                # Without it lambda can park at its warm start while the
+                # residual finds a nearby stationary point (the failure
+                # recorded in the reference's own deflation runs).
+                def u_scalar(xi):
+                    return u_fn(xi.reshape(1, 1))[0]
+
+                du = jax.vmap(
+                    lambda xi: jax.jvp(u_scalar, (xi,),
+                                       (jnp.ones_like(xi),))[1]
+                )(x_quad).reshape(-1)
+                num = (0.5 * jnp.mean(du * du)
+                       + jnp.mean(potential(x_quad) * u_q * u_q))
+                lam_R = num / (jnp.mean(u_q * u_q) + 1e-12)
+                loss = loss + w_anchor * (
+                    lam - jax.lax.stop_gradient(lam_R)) ** 2
             return loss, {"loss": loss, "lam": lam, "norm": norm}
 
         def step(state: SchrState, epoch):
@@ -142,9 +161,15 @@ def solve_schrodinger(
             params = optax.apply_updates(state.params, updates)
             return SchrState(params, opt_state), metrics
 
-        result = run_scan_loop(step, SchrState(params, opt_state),
-                               n_epochs=epochs_per_mode, chunk=scan_chunk,
-                               log_every=log_every, log_fn=log_fn)
+        # Full-f32 matmuls: the residual is a SECOND derivative of the
+        # network — with the TPU's default bf16 matmul rounding the
+        # jvp-of-jvp chain is noise-floored and lambda stalls short of the
+        # true eigenvalue (observed: well mode 2 at 17.6 vs 19.74).
+        with jax.default_matmul_precision("highest"):
+            result = run_scan_loop(step, SchrState(params, opt_state),
+                                   n_epochs=epochs_per_mode,
+                                   chunk=scan_chunk,
+                                   log_every=log_every, log_fn=log_fn)
         params = result.state.params
         u_q, lam = mode_model.apply(params, x_quad)
         # Normalize on the quadrature grid and store for deflation.
