@@ -79,6 +79,34 @@ def laplacian_nd(u_fn: Callable, x: jax.Array) -> jax.Array:
     return jax.vmap(lap)(x)
 
 
+def hutchinson_laplacian(u_fn: Callable, x: jax.Array, key,
+                         n_probes: int = 8) -> jax.Array:
+    """Stochastic Hessian-trace estimate via Rademacher probes.
+
+    E_v[v^T H v] = tr(H); each probe costs one forward-over-forward pass
+    like a single exact direction, so for dimension d >> n_probes this
+    replaces `laplacian_nd`'s d passes (the Hutchinson PINN trick from
+    the high-order-operator literature). Unbiased; variance ~ 2||H||_F^2 /
+    n_probes.
+    """
+    d = x.shape[1]
+
+    def u_scalar(xi):
+        return u_fn(xi.reshape(1, -1))[0]
+
+    def dir2(xi, v):
+        du = lambda z: jax.jvp(u_scalar, (z,), (v,))[1]
+        return jax.jvp(du, (xi,), (v,))[1]
+
+    probes = jax.random.rademacher(key, (n_probes, d),
+                                   dtype=x.dtype)
+
+    def lap(xi):
+        return jnp.mean(jax.vmap(lambda v: dir2(xi, v))(probes))
+
+    return jax.vmap(lap)(x)
+
+
 def schrodinger_residual(u_fn: Callable, V: Callable, lam,
                          x: jax.Array) -> jax.Array:
     """r(x) = -1/2 Lap u + V u - lam u at each collocation point."""

@@ -70,7 +70,7 @@ class SchrodingerResult:
 def solve_schrodinger(
     potential: Callable,
     window: Callable,
-    domain: tuple[float, float],
+    domain,                        # (a, b) for 1D, or [(a1,b1), ...] for ND
     n_modes: int,
     hidden=(64, 64),
     epochs_per_mode: int = 3000,
@@ -88,14 +88,29 @@ def solve_schrodinger(
     log_fn=None,
     log_every: int = 0,
 ) -> SchrodingerResult:
-    """Find the lowest n_modes eigenpairs of -1/2 u'' + V u = lam u."""
+    """Find the lowest n_modes eigenpairs of -1/2 Lap u + V u = lam u.
+
+    1D domains get a regular quadrature grid; ND boxes use a fixed
+    uniform Monte-Carlo quadrature set (the normalization/deflation
+    integrals are MC either way).
+    """
     import eigenpinns_tpu
 
     eigenpinns_tpu.warmup_transfer_async()
-    a, b = domain
-    volume = b - a
-    x_quad = jnp.linspace(a, b, quad_points,
-                          dtype=jnp.float32).reshape(-1, 1)
+    dom = np.asarray(domain, dtype=np.float64)
+    if dom.ndim == 1:
+        dom = dom.reshape(1, 2)
+    d = dom.shape[0]
+    lo, hi = dom[:, 0], dom[:, 1]
+    volume = float(np.prod(hi - lo))
+    if d == 1:
+        x_quad = jnp.linspace(lo[0], hi[0], quad_points,
+                              dtype=jnp.float32).reshape(-1, 1)
+    else:
+        qr = np.random.default_rng(seed + 999)
+        x_quad = jnp.asarray(
+            lo + (hi - lo) * qr.uniform(size=(quad_points, d)),
+            jnp.float32)
 
     model = SchrodingerMode(tuple(hidden), window)
     mode_params: list = []
@@ -115,8 +130,9 @@ def solve_schrodinger(
         have_prev = U_prev.shape[1] > 0
 
         def loss_fn(params, key):
-            x = a + (b - a) * jax.random.uniform(
-                key, (batch_size, 1), dtype=jnp.float32)
+            x = jnp.asarray(lo, jnp.float32) + jnp.asarray(
+                hi - lo, jnp.float32) * jax.random.uniform(
+                key, (batch_size, d), dtype=jnp.float32)
 
             def u_fn(xx):
                 return mode_model.apply(params, xx)[0]
@@ -139,13 +155,14 @@ def solve_schrodinger(
                 # residual finds a nearby stationary point (the failure
                 # recorded in the reference's own deflation runs).
                 def u_scalar(xi):
-                    return u_fn(xi.reshape(1, 1))[0]
+                    return u_fn(xi.reshape(1, -1))[0]
 
-                du = jax.vmap(
-                    lambda xi: jax.jvp(u_scalar, (xi,),
-                                       (jnp.ones_like(xi),))[1]
-                )(x_quad).reshape(-1)
-                num = (0.5 * jnp.mean(du * du)
+                def grad_sq(xi):
+                    g = jax.grad(u_scalar)(xi)
+                    return jnp.sum(g * g)
+
+                gsq = jax.vmap(grad_sq)(x_quad)
+                num = (0.5 * jnp.mean(gsq)
                        + jnp.mean(potential(x_quad) * u_q * u_q))
                 lam_R = num / (jnp.mean(u_q * u_q) + 1e-12)
                 loss = loss + w_anchor * (

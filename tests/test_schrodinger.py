@@ -6,6 +6,7 @@ import pytest
 
 from eigenpinns_tpu.models import dirichlet_window, gaussian_window
 from eigenpinns_tpu.operators import (
+    hutchinson_laplacian,
     harmonic_oscillator,
     infinite_well,
     laplacian_nd,
@@ -89,3 +90,36 @@ def test_oscillator_lambda_targets_nearest_mode():
         n_modes=1, hidden=(32, 32), epochs_per_mode=8000,
         batch_size=128, lr=3e-3, lambda_init=1.0, seed=0)
     assert abs(res.eigenvalues[0] - 1.5) < 0.05, res.eigenvalues
+
+
+def test_hutchinson_laplacian_unbiased():
+    import jax
+
+    def u(x):
+        return jnp.sum(x**2, axis=-1)  # Laplacian = 2 d exactly
+
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(6, 5)),
+                    jnp.float32)
+    lap = hutchinson_laplacian(u, x, jax.random.PRNGKey(0), n_probes=64)
+    # For a quadratic, v^T H v with Rademacher v is exact in expectation;
+    # H = 2I so every probe gives exactly 2d.
+    assert np.allclose(np.asarray(lap), 10.0, atol=1e-3)
+
+
+@pytest.mark.slow
+def test_solve_well_2d():
+    """2D infinite well on (0,1)^2: E_11 = pi^2 (n^2+m^2)/2 = pi^2."""
+    from eigenpinns_tpu.solvers import solve_schrodinger
+
+    def window2d(x):
+        return (x[:, 0] * (1 - x[:, 0]) * x[:, 1] * (1 - x[:, 1]))
+
+    # NB quad_points matters in ND: the Rayleigh anchor inherits the MC
+    # quadrature bias (512 pts -> ~6% systematic error; 8192 -> 0.1%).
+    res = solve_schrodinger(
+        infinite_well(), window2d, [(0.0, 1.0), (0.0, 1.0)],
+        n_modes=1, hidden=(48, 48), epochs_per_mode=8000,
+        batch_size=256, lr=3e-3, lambda_init=8.0, seed=0,
+        quad_points=8192)
+    exact = np.pi**2  # 9.8696
+    assert abs(res.eigenvalues[0] - exact) / exact < 0.01, res.eigenvalues
