@@ -24,15 +24,35 @@ def hdot(a: jax.Array, b: jax.Array) -> jax.Array:
                    preferred_element_type=jnp.float32).astype(a.dtype)
 
 
+# Cap on the gathered (N, W, k) intermediate. Beyond it the SpMM chunks
+# the mode axis: at 1M x W24 x k150 the one-shot gather wants ~14 GB and
+# OOMs the 16 GB chip.
+_GATHER_BUDGET_ELEMS = 512 * 1024 * 1024  # ~2 GB in f32
+
+
 def _gather_spmm(indices: jax.Array, values: jax.Array,
                  U: jax.Array) -> jax.Array:
     """Raw ELL SpMM: gather U rows by padded column indices, contract W."""
-    gathered = U[indices]                 # (N, W, k)
-    return jnp.einsum(
-        "nwk,nw->nk", gathered, values,
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    ).astype(U.dtype)
+    n, w = indices.shape
+    k = U.shape[1]
+
+    def one(u_block):
+        gathered = u_block[indices]       # (N, W, kc)
+        return jnp.einsum(
+            "nwk,nw->nk", gathered, values,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        ).astype(U.dtype)
+
+    if n * w * k <= _GATHER_BUDGET_ELEMS or k <= 8:
+        return one(U)
+    n_chunks = -(-n * w * k // _GATHER_BUDGET_ELEMS)
+    kc = -(-k // n_chunks)
+    pad = (-k) % kc
+    Up = jnp.pad(U, ((0, 0), (0, pad))) if pad else U
+    blocks = jnp.moveaxis(Up.reshape(n, -1, kc), 1, 0)  # (chunks, N, kc)
+    out = jax.lax.map(one, blocks)                      # (chunks, N, kc)
+    return jnp.moveaxis(out, 0, 1).reshape(n, -1)[:, :k]
 
 
 @jax.custom_vjp

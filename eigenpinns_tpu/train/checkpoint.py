@@ -14,7 +14,6 @@ import os
 from typing import Any
 
 import jax
-import numpy as np
 
 
 def _checkpointer():

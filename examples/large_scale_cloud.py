@@ -30,3 +30,10 @@ res = MultigridTrainer(cfg).train(h)
 vals, _ = eigsh_smallest(h.K_scipy[-1], h.M_scipy[-1], 20)
 rel = np.abs(res.eigenvalues[1:] - vals[1:]) / np.abs(vals[1:])
 print("max rel err vs eigsh:", float(rel.max()))
+
+# 1M-vertex variant (run separately): preprocessing with the native C++
+# kernels (point-cloud Laplacian ~50s, ELL conversion ~12s), 65k coarse
+# eigsh warm start, then a fully on-device LOBPCG at 1M x 20 modes
+# (~42s / 30 iterations on a single v5e chip; scaled residual 4e-2 and
+# dropping). k=50 at 1M is gather-latency-bound on one chip - it is the
+# workload the sharded halo SpMM (parallel/sharded.py) distributes.
