@@ -12,11 +12,12 @@ from eigenpinns_tpu.models.ansatz import (
     gaussian_window,
 )
 from eigenpinns_tpu.models.upscaler import HierarchicalUpscaler
+from eigenpinns_tpu.models.surgery import partial_weight_copy
 
 __all__ = [
     "MLP", "ACTIVATIONS", "small_init",
     "SimpleCorrector", "SpectralCorrector", "AdaptiveCorrector",
     "make_corrector", "JointEigenNet", "LambdaEigenNet",
     "ParametricAnsatz", "dirichlet_window", "gaussian_window",
-    "HierarchicalUpscaler",
+    "HierarchicalUpscaler", "partial_weight_copy",
 ]

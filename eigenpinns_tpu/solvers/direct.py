@@ -75,15 +75,29 @@ def train_joint(
     ns_iters: int = 6,
     seed: int = 0,
     rayleigh_ritz_finish: bool = True,
+    batch_nodes: int = 0,
     log_fn=None,
     log_every: int = 0,
 ) -> DirectResult:
-    """Learn all n_modes eigenfunctions of K u = lam M u jointly."""
+    """Learn all n_modes eigenfunctions of K u = lam M u jointly.
+
+    `batch_nodes > 0` enables NODE-MINIBATCHED training (the capability of
+    the adaptive deflation notebook, iterative_eigenvalues cell 13): each
+    step evaluates the residual on a random row block (the block's ELL
+    rows reference the full U, so the stencil stays exact) and estimates
+    the Gram/Rayleigh denominators on the same block scaled by N/B — an
+    unbiased MC estimate. This bounds per-step cost by B instead of N,
+    which is what makes million-node direct training affordable.
+    Only 'penalty' mode supports minibatching (whitening needs the exact
+    global Gram).
+    """
     import eigenpinns_tpu
 
     eigenpinns_tpu.warmup_transfer_async()
     if mode not in ("penalty", "whiten"):
         raise ValueError(f"mode must be 'penalty' or 'whiten', got '{mode}'")
+    if batch_nodes and mode == "whiten":
+        raise ValueError("batch_nodes requires mode='penalty'")
 
     X = jnp.asarray(X, dtype=jnp.float32)
     model = JointEigenNet(tuple(hidden), n_modes, activation=activation)
@@ -93,8 +107,44 @@ def train_joint(
     opt = optax.adam(schedule)
     opt_state = opt.init(params)
 
-    def loss_fn(params):
+    from eigenpinns_tpu.sparse import Diagonal, SparseELL, hdot
+
+    def _block_apply(A, rows, U):
+        """(A U)[rows] using only the rows' stencils."""
+        if isinstance(A, Diagonal):
+            return A.diag[rows, None] * U[rows]
+        if isinstance(A, SparseELL):
+            gathered = U[A.indices[rows]]        # (B, W, k)
+            return jnp.einsum(
+                "bwk,bw->bk", gathered, A.values[rows],
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32).astype(U.dtype)
+        raise TypeError("minibatching needs Diagonal/SparseELL operators")
+
+    n_nodes = X.shape[0]
+
+    def loss_fn(params, key):
         U_raw = model.apply(params, X)
+        if batch_nodes:
+            U = U_raw
+            rows = jax.random.randint(key, (batch_nodes,), 0, n_nodes)
+            Ku_b = _block_apply(K, rows, U)
+            Mu_b = _block_apply(M, rows, U)
+            U_b = U[rows]
+            lam = (jnp.sum(U_b * Ku_b, axis=0)
+                   / (jnp.sum(U_b * Mu_b, axis=0) + 1e-12))
+            res = jnp.mean((Ku_b - Mu_b * lam[None, :]) ** 2)
+            scale = n_nodes / batch_nodes
+            G = hdot(U_b.T, Mu_b) * scale       # MC Gram estimate
+            orth = jnp.sum((G - jnp.eye(n_modes, dtype=U.dtype)) ** 2) \
+                / n_modes
+            total = w_res * res + w_orth * orth
+            metrics = {"loss": total, "res": res, "orth": orth,
+                       "lam_mean": jnp.mean(lam)}
+            if w_trace:
+                total = total + w_trace * trace_loss(lam)
+                metrics["loss"] = total
+            return total, metrics
         if mode == "whiten":
             U = newton_schulz_orthonormalize(U_raw, M, n_iters=ns_iters)
         else:
@@ -118,8 +168,9 @@ def train_joint(
         return total, metrics
 
     def step(state: DirectState, epoch):
+        key = jax.random.fold_in(jax.random.PRNGKey(seed + 13), epoch)
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params)
+            state.params, key)
         updates, opt_state = opt.update(grads, state.opt_state)
         params = optax.apply_updates(state.params, updates)
         return DirectState(params, opt_state), metrics

@@ -113,3 +113,19 @@ def test_deflation_with_polish(sphere_problem):
                           polish_iters=200)
     rel = np.abs(res.eigenvalues[1:] - vals[1:3]) / vals[1:3]
     assert rel.max() < 0.01, (res.eigenvalues, vals[:3])
+
+
+def test_train_joint_minibatched(sphere_problem):
+    """Node-minibatched direct training (the million-node path) reaches
+    the same low modes as full-batch on the sphere."""
+    X, Kop, Mop, L, M, vals, _ = sphere_problem
+    res = train_joint(Kop, Mop, X, n_modes=4, hidden=(64, 64),
+                      mode="penalty", epochs=4000, w_res=1.0, w_orth=10.0,
+                      lr_start=5e-3, lr_end=1e-4, seed=0, batch_nodes=64)
+    rel = np.abs(res.eigenvalues[1:3] - vals[1:3]) / vals[1:3]
+    assert rel.max() < 0.15, (res.eigenvalues, vals)
+    # whiten mode rejects minibatching
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        train_joint(Kop, Mop, X, 3, mode="whiten", batch_nodes=8, epochs=1)

@@ -190,3 +190,22 @@ def test_whitening_differentiable(rng):
 
     g = jax.grad(f)(U)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_partial_weight_copy(rng):
+    """Re-instantiating a model with a wider input keeps the overlapping
+    weights (transfer-learning notebook parity)."""
+    import jax
+
+    from eigenpinns_tpu.models import MLP, partial_weight_copy
+
+    old = MLP((8,), 2).init(jax.random.PRNGKey(0), jnp.ones((1, 4)))
+    new = MLP((8,), 2).init(jax.random.PRNGKey(1), jnp.ones((1, 6)))
+    merged = partial_weight_copy(old, new)
+    k_old = np.asarray(old["params"]["hidden_0"]["kernel"])
+    k_m = np.asarray(merged["params"]["hidden_0"]["kernel"])
+    k_new = np.asarray(new["params"]["hidden_0"]["kernel"])
+    assert np.allclose(k_m[:4], k_old)          # overlap copied
+    assert np.allclose(k_m[4:], k_new[4:])      # fresh rows retained
+    assert np.allclose(np.asarray(merged["params"]["out"]["kernel"]),
+                       np.asarray(old["params"]["out"]["kernel"]))
