@@ -128,3 +128,15 @@ def test_build_hierarchy_validates():
 
     with _pt.raises(ValueError):
         build_hierarchy(None, [10], 2, sampler_type="bogus")
+
+
+def test_build_hierarchy_lobpcg_coarse_solver(coarse1_mesh):
+    """On-device coarse solve option produces the same coarse spectrum as
+    the ARPACK oracle."""
+    h1 = build_hierarchy(coarse1_mesh, [64], n_modes=4, pc_neighbors=15,
+                         coarse_solver="eigsh")
+    h2 = build_hierarchy(coarse1_mesh, [64], n_modes=4, pc_neighbors=15,
+                         coarse_solver="lobpcg")
+    rel = np.abs(h2.coarse_eigenvalues[1:] - h1.coarse_eigenvalues[1:]) \
+        / h1.coarse_eigenvalues[1:]
+    assert rel.max() < 0.02, (h1.coarse_eigenvalues, h2.coarse_eigenvalues)
