@@ -22,7 +22,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from eigenpinns_tpu.models.mlp import MLP
-from eigenpinns_tpu.sparse import SparseELL, neighbor_mean, spmm
+from eigenpinns_tpu.sparse import BandedELL, SparseELL, neighbor_mean, spmm
 
 
 class SimpleCorrector(nn.Module):
@@ -34,10 +34,10 @@ class SimpleCorrector(nn.Module):
 
     @nn.compact
     def __call__(self, x, graph, deterministic: bool = True):
-        # graph: (2, E) edge_index OR a prebuilt SparseELL mean-aggregation
-        # operator (neighbor_mean_operator) — the latter keeps both the
-        # forward and the backward scatter-free on TPU.
-        if isinstance(graph, SparseELL):
+        # graph: (2, E) edge_index OR a prebuilt mean-aggregation operator
+        # (SparseELL / BandedELL from neighbor_mean_operator) — operators
+        # keep both the forward and the backward scatter-free on TPU.
+        if isinstance(graph, (SparseELL, BandedELL)):
             agg = spmm(graph, x)
         else:
             agg = neighbor_mean(graph, x)

@@ -19,6 +19,7 @@ from eigenpinns_tpu.sparse.ops import (
     gcn_normalized_adjacency,
     neighbor_mean,
     neighbor_mean_operator,
+    neighbor_mean_scipy,
 )
 
 __all__ = [
@@ -27,5 +28,5 @@ __all__ = [
     "hdot", "spmm", "spmv", "gram", "m_gram", "rayleigh_quotients",
     "m_normalize_columns", "normalize_columns", "residual",
     "block_diag_ell", "gcn_normalized_adjacency", "neighbor_mean",
-    "neighbor_mean_operator",
+    "neighbor_mean_operator", "neighbor_mean_scipy",
 ]

@@ -60,13 +60,22 @@ class BandedELL:
     n: int
     n_cols: int
     tile: int
+    transpose_banded: Any = None  # BandedELL | None (None = symmetric)
 
     def tree_flatten(self):
-        return (self.band, self.starts), (self.n, self.n_cols, self.tile)
+        if self.transpose_banded is None:
+            return ((self.band, self.starts),
+                    (self.n, self.n_cols, self.tile, False))
+        return ((self.band, self.starts, self.transpose_banded),
+                (self.n, self.n_cols, self.tile, True))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], children[1], *aux)
+        n, n_cols, tile, has_t = aux
+        if has_t:
+            return cls(children[0], children[1], n, n_cols, tile,
+                       children[2])
+        return cls(children[0], children[1], n, n_cols, tile)
 
     @property
     def bandwidth(self) -> int:
@@ -86,7 +95,8 @@ class BandedELL:
 
     @classmethod
     def from_scipy(cls, A, dtype=jnp.float32, tile: int = 128,
-                   reorder: bool = True, max_bandwidth: int = 4096):
+                   reorder: bool = True, max_bandwidth: int = 4096,
+                   with_transpose: bool = True):
         """Convert a (symmetric) scipy sparse matrix.
 
         Returns (op, perm) where perm is the RCM permutation applied —
@@ -143,11 +153,24 @@ class BandedELL:
         deg = np.diff(indptr)
         rows = np.repeat(np.arange(n), deg)
         local = indices - starts[rows // tile]
-        band = np.zeros((n_pad, B), dtype=np.float64)
-        band[rows, local] = data
+        # Build in the TARGET dtype: an f64 staging array at (383k, 4096)
+        # scale is 12 GB of host memory for no accuracy benefit.
+        band = np.zeros((n_pad, B), dtype=np.dtype(jnp.dtype(dtype).name))
+        band[rows, local] = data.astype(band.dtype)
+
+        # Nonsymmetric operators also band A^T (same ordering) for the
+        # scatter-free VJP. with_transpose=False stops the recursion when
+        # building that transpose itself.
+        transpose = None
+        if with_transpose:
+            d = (Ap - Ap.T).tocsr()
+            if d.nnz and abs(d).max() > 1e-12 * max(abs(Ap).max(), 1e-300):
+                transpose = cls.from_scipy(
+                    Ap.T.tocsr(), dtype=dtype, tile=tile, reorder=False,
+                    max_bandwidth=max_bandwidth, with_transpose=False)[0]
 
         op = cls(jnp.asarray(band, dtype=dtype), jnp.asarray(starts),
-                 n, n, tile)
+                 n, n, tile, transpose)
         return op, perm
 
     def pad_u(self, U: jax.Array) -> jax.Array:
@@ -182,12 +205,13 @@ def _banded_impl(A: BandedELL, U: jax.Array) -> jax.Array:
 
 @jax.custom_vjp
 def banded_spmm(A: BandedELL, U: jax.Array) -> jax.Array:
-    """Banded SpMM (symmetric operators) with a matching-kernel VJP.
+    """Banded SpMM with a matching-kernel VJP.
 
-    The backward w.r.t. U is the same banded SpMM applied to the
-    cotangent. The operator itself is treated as a CONSTANT of the
-    optimization (zero cotangent) — differentiate through `spmm` on the
-    ELL path if operator gradients are ever needed.
+    The backward w.r.t. U applies A^T in the same banded kernel —
+    `transpose_banded` when attached, A itself for symmetric operators.
+    The operator is treated as a CONSTANT of the optimization (zero
+    cotangent) — differentiate through `spmm` on the ELL path if operator
+    gradients are ever needed.
     """
     return _banded_impl(A, U)
 
@@ -196,11 +220,17 @@ def _banded_fwd(A, U):
     return _banded_impl(A, U), A
 
 
+def _zero_like_banded(A):
+    dt = (None if A.transpose_banded is None
+          else _zero_like_banded(A.transpose_banded))
+    return BandedELL(jnp.zeros_like(A.band),
+                     np.zeros(A.starts.shape, jax.dtypes.float0),
+                     A.n, A.n_cols, A.tile, dt)
+
+
 def _banded_bwd(A, g):
-    dA = BandedELL(jnp.zeros_like(A.band),
-                   np.zeros(A.starts.shape, jax.dtypes.float0),
-                   A.n, A.n_cols, A.tile)
-    return (dA, _banded_impl(A, g))
+    At = A.transpose_banded if A.transpose_banded is not None else A
+    return (_zero_like_banded(A), _banded_impl(At, g))
 
 
 banded_spmm.defvjp(_banded_fwd, _banded_bwd)

@@ -225,10 +225,8 @@ def neighbor_mean(edge_index: jax.Array, x: jax.Array) -> jax.Array:
     return agg / jnp.clip(deg, 1.0)[:, None]
 
 
-def neighbor_mean_operator(edge_index, n_nodes: int) -> SparseELL:
-    """The mean-aggregation matrix D^{-1} A as SparseELL (host-side build,
-    transpose attached for the scatter-free VJP). `spmm(op, x)` equals
-    `neighbor_mean(edge_index, x)`."""
+def neighbor_mean_scipy(edge_index, n_nodes: int):
+    """The mean-aggregation matrix D^{-1} A as scipy CSR."""
     import numpy as np
     import scipy.sparse as sp
 
@@ -238,4 +236,11 @@ def neighbor_mean_operator(edge_index, n_nodes: int) -> SparseELL:
     A.sum_duplicates()
     deg = np.asarray(A.sum(axis=1)).ravel()
     Dinv = sp.diags(1.0 / np.clip(deg, 1.0, None))
-    return SparseELL.from_scipy((Dinv @ A).tocsr())
+    return (Dinv @ A).tocsr()
+
+
+def neighbor_mean_operator(edge_index, n_nodes: int) -> SparseELL:
+    """The mean-aggregation matrix D^{-1} A as SparseELL (host-side build,
+    transpose attached for the scatter-free VJP). `spmm(op, x)` equals
+    `neighbor_mean(edge_index, x)`."""
+    return SparseELL.from_scipy(neighbor_mean_scipy(edge_index, n_nodes))

@@ -156,3 +156,28 @@ def test_banded_bandwidth_guard(rng):
     A = (A + A.T).tocsr()
     with pytest.raises(ValueError):
         BandedELL.from_scipy(A, max_bandwidth=64)
+
+
+def test_banded_nonsymmetric_gradient(rng):
+    """Nonsymmetric banded operators backprop through the banded transpose."""
+    import jax
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+
+    from eigenpinns_tpu.sparse import BandedELL, banded_spmm
+
+    n = 160
+    A = sp.diags([-0.3, 2.0, -1.2], [-1, 0, 1], shape=(n, n)).tocsr()
+    op, perm = BandedELL.from_scipy(A, reorder=False)
+    assert op.transpose_banded is not None
+    Ad = A.toarray()
+    U = jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32))
+    out = np.asarray(banded_spmm(op, U))
+    assert np.abs(out - Ad @ np.asarray(U, np.float64)).max() < 1e-5
+
+    def f(U):
+        return jnp.sum(banded_spmm(op, U) ** 2)
+
+    g = np.asarray(jax.grad(f)(U))
+    ref = 2 * Ad.T @ (Ad @ np.asarray(U, np.float64))
+    assert np.abs(g - ref).max() / np.abs(ref).max() < 1e-4
