@@ -165,24 +165,12 @@ class MultigridTrainer:
             graph = gcn_normalized_adjacency(edges_np, n_total)
         else:
             # Prebuilt mean-aggregation operator: scatter-free fwd AND bwd.
+            # (Deliberately NOT banded: tiles spanning level-block
+            # boundaries in the concatenated graph blow the window width,
+            # and the measured result was a regression — 359 -> 290
+            # steps/s on the bunny bench. The K/M loss operators, which
+            # dominate, stay banded per level.)
             graph = neighbor_mean_operator(edges_np, n_total)
-            if h.perms is not None:
-                # Levels are RCM-ordered: the concatenated kNN aggregation
-                # is (nearly) banded too — banding it removes the last
-                # gather from the training step. Bandwidth is capped so
-                # the (nonsymmetric: band + transpose) storage stays under
-                # ~512 MB; beyond that the ELL gather is the better trade.
-                from eigenpinns_tpu.sparse import neighbor_mean_scipy
-                from eigenpinns_tpu.sparse.banded import BandedELL
-
-                mem_cap_b = 512 * 1024 * 1024 // 2  # band + transpose
-                max_bw = min(4096, (mem_cap_b // 4) // max(n_total, 1))
-                try:
-                    graph = BandedELL.from_scipy(
-                        neighbor_mean_scipy(edges_np, n_total),
-                        reorder=False, max_bandwidth=max(max_bw, 128))[0]
-                except ValueError:
-                    pass  # bandwidth too large; keep the ELL gather
 
         params = model.init(jax.random.PRNGKey(cfg.seed), feats, graph)
         opt, plateau = adam_plateau(
