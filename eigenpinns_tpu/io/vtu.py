@@ -89,6 +89,10 @@ def write_vtu(path: str, points: np.ndarray, triangles: np.ndarray,
                 name, np.ascontiguousarray(values, dtype=np.float64)))
         out.append("</PointData>\n")
     out += ["</Piece>\n", "</UnstructuredGrid>\n", "</VTKFile>\n"]
+    import os
+
+    parent = os.path.dirname(os.path.abspath(path))
+    os.makedirs(parent, exist_ok=True)
     with open(path, "w") as fh:
         fh.write("".join(out))
 
