@@ -71,6 +71,97 @@ class Hierarchy:
         out[perm] = U_finest
         return out
 
+    def save(self, directory: str) -> None:
+        """Persist the preprocessed hierarchy (operators, prolongations,
+        initial guesses) so reruns skip the 100s+ preprocessing at scale.
+
+        Layout: one .npz of dense arrays + scipy .npz per sparse operator.
+        """
+        import os
+
+        import scipy.sparse as sp
+
+        os.makedirs(directory, exist_ok=True)
+        dense = {
+            "actual_hierarchy": np.asarray(self.actual_hierarchy),
+            "coarse_eigenvalues": self.coarse_eigenvalues,
+            "n_levels": np.asarray(self.n_levels),
+            "has_perms": np.asarray(self.perms is not None),
+        }
+        for i in range(self.n_levels):
+            dense[f"X_{i}"] = np.asarray(self.X_list[i])
+            dense[f"U_{i}"] = np.asarray(self.U_list[i])
+            dense[f"edges_{i}"] = np.asarray(self.edge_index_list[i])
+            if self.perms is not None:
+                dense[f"perm_{i}"] = np.asarray(self.perms[i])
+            if i < len(self.indices_per_level):
+                dense[f"indices_{i}"] = np.asarray(
+                    self.indices_per_level[i])
+            sp.save_npz(os.path.join(directory, f"K_{i}.npz"),
+                        self.K_scipy[i].tocsr())
+            sp.save_npz(os.path.join(directory, f"M_{i}.npz"),
+                        self.M_scipy[i].tocsr())
+        for i, (P, _) in enumerate(zip(self.P_ops, self.Pt_ops)):
+            sp.save_npz(os.path.join(directory, f"P_{i}.npz"),
+                        P.to_scipy().tocsr())
+        mesh = self.meshes[-1]
+        dense["mesh_verts"] = mesh.verts
+        dense["mesh_faces"] = mesh.faces
+        np.savez_compressed(os.path.join(directory, "hierarchy.npz"),
+                            **dense)
+
+    @classmethod
+    def load(cls, directory: str, dtype=jnp.float32,
+             operator_format: str = "ell",
+             max_bandwidth: int = 4096) -> "Hierarchy":
+        """Rebuild a Hierarchy from `save` output. Operators are
+        re-canonicalized to the requested device format (the on-disk form
+        is format-agnostic scipy CSR)."""
+        import os
+
+        import scipy.sparse as sp
+
+        dense = np.load(os.path.join(directory, "hierarchy.npz"))
+        n_levels = int(dense["n_levels"])
+        has_perms = bool(dense["has_perms"])
+        K_sp = [sp.load_npz(os.path.join(directory, f"K_{i}.npz"))
+                for i in range(n_levels)]
+        M_sp = [sp.load_npz(os.path.join(directory, f"M_{i}.npz"))
+                for i in range(n_levels)]
+        X_list = [dense[f"X_{i}"] for i in range(n_levels)]
+        U_list = [jnp.asarray(dense[f"U_{i}"], dtype) for i in
+                  range(n_levels)]
+        edges = [dense[f"edges_{i}"] for i in range(n_levels)]
+        perms = ([dense[f"perm_{i}"] for i in range(n_levels)]
+                 if has_perms else None)
+        indices = [dense[f"indices_{i}"] for i in range(n_levels)
+                   if f"indices_{i}" in dense]
+        if operator_format in ("banded", "auto") and has_perms:
+            # Saved operators are ALREADY RCM-permuted; band directly.
+            from eigenpinns_tpu.sparse.banded import BandedELL
+
+            K_ops = [BandedELL.from_scipy(
+                K, dtype=dtype, reorder=False,
+                max_bandwidth=max_bandwidth)[0] for K in K_sp]
+        else:
+            K_ops = [as_operator(K, dtype=dtype) for K in K_sp]
+        M_ops = [as_operator(M, dtype=dtype) for M in M_sp]
+        P_ops, Pt_ops = [], []
+        for i in range(n_levels - 1):
+            P = sp.load_npz(os.path.join(directory, f"P_{i}.npz"))
+            P_ops.append(as_operator(P.tocsr(), dtype=dtype))
+            Pt_ops.append(as_operator(P.T.tocsr(), dtype=dtype))
+        mesh = TriMesh(dense["mesh_verts"], dense["mesh_faces"])
+        return cls(
+            X_list=X_list, K_ops=K_ops, M_ops=M_ops,
+            K_scipy=K_sp, M_scipy=M_sp, P_ops=P_ops, Pt_ops=Pt_ops,
+            U_list=U_list, edge_index_list=edges,
+            actual_hierarchy=[int(v) for v in dense["actual_hierarchy"]],
+            meshes=[mesh], indices_per_level=indices,
+            coarse_eigenvalues=dense["coarse_eigenvalues"],
+            perms=perms,
+        )
+
     @property
     def n_levels(self) -> int:
         return len(self.X_list)

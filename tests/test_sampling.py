@@ -140,3 +140,38 @@ def test_build_hierarchy_lobpcg_coarse_solver(coarse1_mesh):
     rel = np.abs(h2.coarse_eigenvalues[1:] - h1.coarse_eigenvalues[1:]) \
         / h1.coarse_eigenvalues[1:]
     assert rel.max() < 0.02, (h1.coarse_eigenvalues, h2.coarse_eigenvalues)
+
+
+def test_hierarchy_save_load_roundtrip(coarse1_mesh, tmp_path):
+    """Cached hierarchies reload and train identically."""
+    h = build_hierarchy(coarse1_mesh, [64, 120], n_modes=4,
+                        sampler_type="farthest_point", pc_neighbors=15,
+                        operator_format="auto")
+    from eigenpinns_tpu.sampling import Hierarchy
+
+    h.save(str(tmp_path / "h"))
+    h2 = Hierarchy.load(str(tmp_path / "h"), operator_format="auto")
+    assert h2.actual_hierarchy == h.actual_hierarchy
+    assert np.allclose(h2.coarse_eigenvalues, h.coarse_eigenvalues)
+    assert np.allclose(np.asarray(h2.U_list[1]), np.asarray(h.U_list[1]))
+    assert (h2.perms is not None) == (h.perms is not None)
+    assert np.array_equal(h2.perms[-1], h.perms[-1])
+    # Operators reproduce SpMM results.
+    import jax.numpy as jnp
+
+    from eigenpinns_tpu.sparse import spmm
+
+    U = jnp.asarray(np.random.default_rng(0).normal(
+        size=(h.actual_hierarchy[-1], 3)).astype(np.float32))
+    a = np.asarray(spmm(h.K_ops[-1], U))
+    b = np.asarray(spmm(h2.K_ops[-1], U))
+    assert np.abs(a - b).max() < 1e-6
+    # A trainer runs off the loaded hierarchy.
+    from eigenpinns_tpu.configs import Config
+    from eigenpinns_tpu.solvers.multigrid import MultigridTrainer
+
+    cfg = Config(n_modes=4, hierarchy=[64, 120], hidden_layers=[16],
+                 epochs=20, scan_chunk=20, corrector_scale=1.0,
+                 scale_ramp_epochs=10, plateau_patience=10**9)
+    res = MultigridTrainer(cfg).train(h2)
+    assert np.isfinite(res.eigenvalues).all()
