@@ -255,14 +255,28 @@ def banded_spmm_pallas(A: BandedELL, U: jax.Array,
     n_tiles = n_pad // tile
 
     def kernel(starts_ref, band_ref, u_ref, out_ref, scratch, sem):
+        # Double-buffered U-window pipeline: while tile t's matmul runs,
+        # tile t+1's window is already in flight. The band tiles
+        # themselves are pipelined by the grid BlockSpec machinery.
         t = pl.program_id(0)
-        s = starts_ref[t]
-        dma = pltpu.make_async_copy(
-            u_ref.at[pl.ds(s, B), :], scratch, sem)
-        dma.start()
-        dma.wait()
+        n_t = pl.num_programs(0)
+
+        def window_dma(slot, tt):
+            return pltpu.make_async_copy(
+                u_ref.at[pl.ds(starts_ref[tt], B), :],
+                scratch.at[slot], sem.at[slot])
+
+        @pl.when(t == 0)
+        def _():
+            window_dma(0, 0).start()
+
+        @pl.when(t + 1 < n_t)
+        def _():
+            window_dma((t + 1) % 2, t + 1).start()
+
+        window_dma(t % 2, t).wait()
         out_ref[:] = jnp.dot(
-            band_ref[:], scratch[:],
+            band_ref[:], scratch[t % 2],
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32).astype(out_ref.dtype)
 
@@ -275,8 +289,8 @@ def banded_spmm_pallas(A: BandedELL, U: jax.Array,
         ],
         out_specs=pl.BlockSpec((tile, k), lambda t, starts: (t, 0)),
         scratch_shapes=[
-            pltpu.VMEM((B, k), U.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, B, k), U.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out = pl.pallas_call(
