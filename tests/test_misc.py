@@ -120,3 +120,54 @@ def test_visualizations(tmp_path, coarse1_mesh):
                       str(tmp_path / "hist.png"))
     for f in ("mesh.png", "modes.png", "hist.png"):
         assert (tmp_path / f).stat().st_size > 1000
+
+
+def test_fps_jax_matches_numpy():
+    import numpy as np
+
+    from eigenpinns_tpu.sampling import farthest_point_indices, fps_jax
+
+    rng = np.random.default_rng(0)
+    pts = rng.normal(size=(200, 3))
+    # Same start -> same selection (distances are unambiguous here).
+    from eigenpinns_tpu.geometry import native
+
+    host = (native.fps_native(pts, 20, start=0) if native.available()
+            else None)
+    dev = np.asarray(fps_jax(pts.astype(np.float32), 20, start=0))
+    if host is not None:
+        assert np.array_equal(np.sort(host), np.sort(dev)), (host, dev)
+    # Coverage property regardless.
+    from scipy.spatial import cKDTree
+
+    d, _ = cKDTree(pts[dev]).query(pts, k=1)
+    assert d.max() < np.linalg.norm(pts.max(0) - pts.min(0)) / 2
+
+
+def test_leverage_score_levels():
+    from eigenpinns_tpu.utils import generate_test_matrices
+    from eigenpinns_tpu.sampling import leverage_score_levels
+
+    K, _ = generate_test_matrices(80, "random_spd")
+    levels = leverage_score_levels(K, [10, 30], seed=0)
+    assert [len(l) for l in levels] == [10, 30, 80]
+    assert set(levels[0]) <= set(levels[1])
+
+
+def test_optimizer_stacks():
+    import jax.numpy as jnp
+    import optax
+
+    from eigenpinns_tpu.train import adam_exp_decay, adamw_cosine_restarts
+
+    params = {"w": jnp.ones((3,))}
+    for opt, sched in (adamw_cosine_restarts(1e-3, 100),
+                       adam_exp_decay()):
+        state = opt.init(params)
+        g = {"w": jnp.ones((3,))}
+        up, state = opt.update(g, state, params)
+        p2 = optax.apply_updates(params, up)
+        assert np.isfinite(np.asarray(p2["w"])).all()
+    # SGDR schedule restarts: lr jumps back up after the first cycle.
+    _, sched = adamw_cosine_restarts(1.0, 10, n_cycles=3)
+    assert float(sched(9)) < 0.1 < float(sched(11))
