@@ -58,7 +58,8 @@ def solve_deflation(
     lambda_delta: float = 0.15,
     rayleigh_lambda: bool = False,
     polish_iters: int = 0,
-
+    perturb_sigma: float = 0.0,
+    early_stop_patience: int | None = None,
     ema_decay: float = 0.99,
     ema_slope_tol: float = 1e-7,
     seed: int = 0,
@@ -88,8 +89,15 @@ def solve_deflation(
                   else jnp.zeros((n, 1), jnp.float32))
         have_prev = bool(found_u)
 
-        def loss_fn(params):
-            u, lam = model.apply(params, X)
+        def loss_fn(params, key):
+            X_in = X
+            if perturb_sigma > 0:
+                # Point perturbation (the adaptive notebook variant,
+                # iterative_eigenvalues cell 13): jitter collocation
+                # points each step as data augmentation.
+                X_in = X + perturb_sigma * jax.random.normal(
+                    key, X.shape, X.dtype)
+            u, lam = model.apply(params, X_in)
             u = u[:, 0]
             Mu = spmm(M, u[:, None])[:, 0]
             if rayleigh_lambda:
@@ -107,8 +115,10 @@ def solve_deflation(
             return loss, {"loss": loss, "lam": lam, "norm": norm}
 
         def step(state: ModeState, epoch):
+            key = jax.random.fold_in(jax.random.PRNGKey(seed + 17 * m),
+                                     epoch)
             (_, metrics), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(state.params)
+                loss_fn, has_aux=True)(state.params, key)
             updates, opt_state = opt.update(grads, state.opt_state)
             params = optax.apply_updates(state.params, updates)
             ema = ema_decay * state.ema_loss + (1 - ema_decay) * \
@@ -119,12 +129,12 @@ def solve_deflation(
 
         init = ModeState(params, opt_state,
                          jnp.asarray(jnp.inf, jnp.float32))
-        # EMA-slope convergence: stop when the smoothed loss stops moving.
+        # Convergence detection: the smoothed-loss patience counter in the
+        # scan carry (the notebook's EMA-slope monitor, cell 1:233-237).
         result = run_scan_loop(
             step, init, n_epochs=epochs_per_mode, chunk=scan_chunk,
-            early_stop_patience=None, log_every=log_every, log_fn=log_fn)
-        # Post-hoc slope check per chunk (host-side, like the notebook's
-        # convergence monitor).
+            early_stop_patience=early_stop_patience,
+            log_every=log_every, log_fn=log_fn)
         histories.append(result.history)
         epochs_used.append(result.epochs_run)
 

@@ -129,3 +129,12 @@ def test_train_joint_minibatched(sphere_problem):
 
     with _pt.raises(ValueError):
         train_joint(Kop, Mop, X, 3, mode="whiten", batch_nodes=8, epochs=1)
+
+
+def test_deflation_perturbation_and_early_stop(sphere_problem):
+    X, Kop, Mop, *_ = sphere_problem
+    res = solve_deflation(Kop, Mop, X, n_modes=1, hidden=(16, 16),
+                          epochs_per_mode=2000, lr=2e-3, seed=0,
+                          perturb_sigma=0.01, early_stop_patience=100)
+    assert np.isfinite(res.eigenvalues).all()
+    assert res.epochs_per_mode[0] <= 2000
