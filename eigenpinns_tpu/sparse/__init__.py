@@ -5,6 +5,11 @@ from eigenpinns_tpu.sparse.banded import (
     banded_spmm_reference,
     banded_spmm_pallas,
 )
+from eigenpinns_tpu.sparse.split import (
+    SplitBanded,
+    split_spmm,
+    spatial_cluster_order,
+)
 from eigenpinns_tpu.sparse.ops import (
     hdot,
     spmm,
@@ -25,6 +30,7 @@ from eigenpinns_tpu.sparse.ops import (
 __all__ = [
     "SparseELL", "Diagonal", "as_operator",
     "BandedELL", "banded_spmm", "banded_spmm_reference", "banded_spmm_pallas",
+    "SplitBanded", "split_spmm", "spatial_cluster_order",
     "hdot", "spmm", "spmv", "gram", "m_gram", "rayleigh_quotients",
     "m_normalize_columns", "normalize_columns", "residual",
     "block_diag_ell", "gcn_normalized_adjacency", "neighbor_mean",

@@ -107,6 +107,10 @@ def spmm(A, U: jax.Array) -> jax.Array:
 
     if isinstance(A, BandedELL):
         return banded_spmm(A, U)
+    from eigenpinns_tpu.sparse.split import SplitBanded, split_spmm
+
+    if isinstance(A, SplitBanded):
+        return split_spmm(A, U)
     raise TypeError(f"unsupported operator {type(A)}")
 
 

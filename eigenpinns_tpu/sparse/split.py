@@ -1,0 +1,190 @@
+"""Split operators: banded core + sparse remainder, for large clouds.
+
+Global RCM ordering of a surface-sampled cloud has bandwidth ~ the sweep
+front (measured 6k at 1M points), making the fully-banded format cost
+24 GB. The fix is geometric: cluster the nodes spatially (FPS centers +
+nearest-center assignment), order clusters contiguously with RCM inside
+each, and DECOMPOSE the operator
+
+    A = A_band + A_rem
+
+where A_band holds every entry inside a capped per-tile window (the
+intra-cluster bulk — MXU matmuls via the banded kernel) and A_rem holds
+the few cluster-boundary entries (gather-ELL with its scatter-free VJP).
+SpMM = banded_spmm + ell spmm; both parts already differentiate without
+scatters.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from eigenpinns_tpu.sparse.banded import BandedELL, _round_up, banded_spmm
+from eigenpinns_tpu.sparse.formats import SparseELL
+from eigenpinns_tpu.sparse.ops import spmm as _ell_dispatch_spmm
+
+
+def spatial_cluster_order(X: np.ndarray, n_clusters: int,
+                          adjacency=None) -> np.ndarray:
+    """Permutation grouping nodes into spatially contiguous clusters.
+
+    FPS picks well-spread centers, each node joins its nearest center,
+    and nodes are ordered (cluster, RCM-within-cluster). Returns perm
+    such that X[perm] is cluster-contiguous.
+    """
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+    from scipy.spatial import cKDTree
+
+    from eigenpinns_tpu.sampling.samplers import farthest_point_indices
+
+    n = X.shape[0]
+    centers = farthest_point_indices(X, min(n_clusters, n), seed=0)
+    _, assign = cKDTree(X[centers]).query(X, k=1)
+    # One global cluster-sort, then per-cluster RCM on diagonal blocks
+    # extracted from COO by range masks — scipy's np.ix_ fancy indexing
+    # on a 1M-row CSR takes minutes, this path takes seconds.
+    order0 = np.argsort(assign, kind="stable")
+    bounds = np.searchsorted(assign[order0], np.arange(len(centers) + 1))
+    perm = order0.copy()
+    if adjacency is not None:
+        inv = np.empty(n, dtype=np.int64)
+        inv[order0] = np.arange(n)
+        coo = adjacency.tocoo()
+        r = inv[coo.row]
+        c = inv[coo.col]
+        cluster_of = np.searchsorted(bounds, r, side="right") - 1
+        same = cluster_of == (np.searchsorted(bounds, c, side="right") - 1)
+        rs, cs, ds = r[same], c[same], coo.data[same]
+        for ci in range(len(centers)):
+            lo, hi = bounds[ci], bounds[ci + 1]
+            m = hi - lo
+            if m <= 2:
+                continue
+            sel = (rs >= lo) & (rs < hi)
+            block = sp.coo_matrix(
+                (ds[sel], (rs[sel] - lo, cs[sel] - lo)),
+                shape=(m, m)).tocsr()
+            local = np.asarray(reverse_cuthill_mckee(
+                block, symmetric_mode=True))
+            perm[lo:hi] = order0[lo:hi][local]
+    return perm
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class SplitBanded:
+    """A = banded core + ELL remainder (both scatter-free in fwd and bwd)."""
+
+    core: Any        # BandedELL
+    remainder: Any   # SparseELL | None
+
+    def tree_flatten(self):
+        if self.remainder is None:
+            return (self.core,), (False,)
+        return (self.core, self.remainder), (True,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        if aux[0]:
+            return cls(children[0], children[1])
+        return cls(children[0], None)
+
+    @property
+    def shape(self):
+        return self.core.shape
+
+    @property
+    def n(self):
+        return self.core.n
+
+    def diagonal(self) -> jax.Array:
+        d = self.core.diagonal()
+        if self.remainder is not None:
+            d = d + self.remainder.diagonal()
+        return d
+
+    @classmethod
+    def from_scipy(cls, A, X: np.ndarray | None = None,
+                   dtype=jnp.float32, tile: int = 128,
+                   window: int = 1024, n_clusters: int | None = None):
+        """Decompose a (pre-permutation) operator.
+
+        When X is given, a cluster ordering is computed first and the
+        returned perm must be applied to all node data. `window` caps the
+        banded core's width; everything outside lands in the remainder.
+        Returns (op, perm).
+        """
+        import scipy.sparse as sp
+
+        A = A.tocsr()
+        A.sum_duplicates()
+        n = A.shape[0]
+        if X is not None:
+            if n_clusters is None:
+                n_clusters = max(1, int(np.ceil(n / max(window * 24, 1))))
+                n_clusters = max(n_clusters, int(np.ceil(n / 100_000)))
+            perm = spatial_cluster_order(np.asarray(X), n_clusters,
+                                         adjacency=A)
+        else:
+            from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+            perm = np.asarray(reverse_cuthill_mckee(A, symmetric_mode=True))
+        Ap = A[perm][:, perm].tocsr()
+
+        n_pad = _round_up(max(n, tile), tile)
+        B = _round_up(min(window, n_pad), 128)
+        # Row-centered windows: keep the diagonal inside every window (the
+        # symmetric-mirror band test needs it; data-driven centers were
+        # tried and lose badly — junction tiles average into the gap
+        # between clusters and capture neither side).
+        t_ids = np.arange(n_pad // tile)
+        starts = np.clip(t_ids * tile + tile // 2 - B // 2, 0,
+                         max(n_pad - B, 0)).astype(np.int64)
+
+        coo = Ap.tocoo()
+        tile_of_row = coo.row // tile
+        local = coo.col - starts[tile_of_row]
+        in_band = (local >= 0) & (local < B)
+        # Keep the core SYMMETRIC (banded_spmm's VJP applies the core to
+        # the cotangent): an entry stays in the band only if its mirror
+        # (j, i) also fits its own tile's window; stragglers join the
+        # remainder, which carries an explicit transpose.
+        local_m = coo.row - starts[coo.col // tile]
+        in_band &= (local_m >= 0) & (local_m < B)
+
+        band = np.zeros((n_pad, B), dtype=np.dtype(jnp.dtype(dtype).name))
+        band[coo.row[in_band], local[in_band]] = \
+            coo.data[in_band].astype(band.dtype)
+        core = BandedELL(jnp.asarray(band),
+                         jnp.asarray(starts.astype(np.int32)), n, n, tile)
+
+        remainder = None
+        n_out = int((~in_band).sum())
+        if n_out:
+            rem = sp.coo_matrix(
+                (coo.data[~in_band],
+                 (coo.row[~in_band], coo.col[~in_band])),
+                shape=(n, n)).tocsr()
+            remainder = SparseELL.from_scipy(rem, dtype=dtype)
+        return cls(core, remainder), perm
+
+    @property
+    def remainder_nnz_fraction(self) -> float:
+        if self.remainder is None:
+            return 0.0
+        rem = float(np.count_nonzero(np.asarray(self.remainder.values)))
+        core = float(np.count_nonzero(np.asarray(self.core.band)))
+        return rem / max(rem + core, 1.0)
+
+
+def split_spmm(A: SplitBanded, U: jax.Array) -> jax.Array:
+    out = banded_spmm(A.core, U)
+    if A.remainder is not None:
+        out = out + _ell_dispatch_spmm(A.remainder, U)
+    return out

@@ -181,3 +181,32 @@ def test_banded_nonsymmetric_gradient(rng):
     g = np.asarray(jax.grad(f)(U))
     ref = 2 * Ad.T @ (Ad @ np.asarray(U, np.float64))
     assert np.abs(g - ref).max() / np.abs(ref).max() < 1e-4
+
+
+def test_split_banded_decomposition():
+    """Split operator = banded core + remainder reproduces A exactly and
+    differentiates scatter-free."""
+    import jax
+    import jax.numpy as jnp
+
+    from eigenpinns_tpu.geometry import point_cloud_laplacian
+    from eigenpinns_tpu.sparse import SplitBanded, spmm
+
+    rng = np.random.default_rng(42)
+    X = rng.normal(size=(600, 3))
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    L, _ = point_cloud_laplacian(X, n_neighbors=12)
+    op, perm = SplitBanded.from_scipy(L, X=X, window=256, n_clusters=6)
+    Lp = L.tocsr()[perm][:, perm]
+    assert op.remainder is not None
+    assert op.remainder_nnz_fraction < 0.5  # clustering keeps it small
+    U = jnp.asarray(rng.normal(size=(600, 5)).astype(np.float32))
+    out = np.asarray(spmm(op, U))
+    ref = Lp @ np.asarray(U, np.float64)
+    assert np.abs(out - ref).max() / np.abs(ref).max() < 1e-5
+    # diagonal agrees
+    assert np.abs(np.asarray(op.diagonal()) - Lp.diagonal()).max() < 1e-4
+    # gradient: symmetric L -> d||Lu||^2/du = 2 L^T L u
+    g = np.asarray(jax.grad(lambda u: jnp.sum(spmm(op, u) ** 2))(U))
+    gref = 2 * Lp.T @ (Lp @ np.asarray(U, np.float64))
+    assert np.abs(g - gref).max() / np.abs(gref).max() < 1e-4
