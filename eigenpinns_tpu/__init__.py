@@ -16,7 +16,7 @@ sampling     FPS / voxel / decimation samplers, kNN graphs, prolongation
 operators    problem definitions (Laplace-Beltrami, Schrodinger, eikonal)
 models       MLPs, GNN correctors, lambda-conditioned eigenfunction nets
 losses       Rayleigh residual, M-orthogonality, deflation, whitening
-solvers      LOBPCG, Lanczos, Rayleigh-Ritz, Jacobi, CGC, multigrid trainer
+solvers      LOBPCG, Rayleigh-Ritz, Jacobi, CGC, multigrid trainer
 train        optax optimizers/schedules, scan-based loops, checkpointing
 parallel     jax.sharding meshes, node-sharded SpMM, psum'd Gram/grads
 diagnostics  Hungarian alignment, Procrustes, spectra reports, plots

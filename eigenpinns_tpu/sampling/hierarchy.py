@@ -279,6 +279,14 @@ def build_hierarchy(
     if (sampler_type == "graph_coarsening"
             and edge_computation_type == "connectivity_based"):
         edge_index_list = [m.edges(directed=True) for m in meshes]
+        if perms is not None:
+            # Meshes keep original vertex order but X/K/M were RCM-
+            # permuted above — remap connectivity edges into the permuted
+            # node numbering so GNN aggregation stays consistent.
+            for i, perm in enumerate(perms):
+                inv = np.empty(len(perm), dtype=np.int64)
+                inv[perm] = np.arange(len(perm))
+                edge_index_list[i] = inv[edge_index_list[i]]
     else:
         edge_index_list = [knn_graph(X, k=k_neighbors) for X in X_list]
 

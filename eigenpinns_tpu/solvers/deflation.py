@@ -121,19 +121,31 @@ def solve_deflation(
                 loss_fn, has_aux=True)(state.params, key)
             updates, opt_state = opt.update(grads, state.opt_state)
             params = optax.apply_updates(state.params, updates)
-            ema = ema_decay * state.ema_loss + (1 - ema_decay) * \
-                metrics["loss"]
+            # Seed the EMA with the first observed loss (an inf seed
+            # would stay inf forever and make the slope NaN).
+            first = jnp.isinf(state.ema_loss)
+            ema = jnp.where(
+                first, metrics["loss"],
+                ema_decay * state.ema_loss + (1 - ema_decay) *
+                metrics["loss"])
             metrics = dict(metrics)
-            metrics["ema_slope"] = state.ema_loss - ema
+            # inf on the first step so the slope can never read converged
+            # before the EMA is seeded.
+            metrics["ema_slope"] = jnp.where(
+                first, jnp.inf, state.ema_loss - ema)
             return ModeState(params, opt_state, ema), metrics
 
         init = ModeState(params, opt_state,
                          jnp.asarray(jnp.inf, jnp.float32))
-        # Convergence detection: the smoothed-loss patience counter in the
-        # scan carry (the notebook's EMA-slope monitor, cell 1:233-237).
+        # Convergence detection: the notebook's EMA-slope monitor
+        # (cell 1:233-237) — stop once the smoothed-loss slope stays
+        # under ema_slope_tol for `early_stop_patience` epochs.
         result = run_scan_loop(
             step, init, n_epochs=epochs_per_mode, chunk=scan_chunk,
             early_stop_patience=early_stop_patience,
+            early_stop_metric="ema_slope",
+            early_stop_mode="below_tol",
+            early_stop_tol=ema_slope_tol,
             log_every=log_every, log_fn=log_fn)
         histories.append(result.history)
         epochs_used.append(result.epochs_run)

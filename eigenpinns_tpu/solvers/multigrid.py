@@ -264,6 +264,7 @@ class MultigridTrainer:
         # Resume from the newest checkpoint when a checkpoint_dir is set.
         start_state = MGState(params, opt_state, plateau_state)
         ckptr = None
+        epoch0 = 0
         if cfg.checkpoint_dir:
             from eigenpinns_tpu.train.checkpoint import TrainCheckpointer
 
@@ -271,6 +272,10 @@ class MultigridTrainer:
             prev_step, prev = ckptr.restore_latest(target=start_state)
             if prev is not None:
                 start_state = prev
+                # Continue the epoch counter so the corrector-scale ramp
+                # does not replay and the post-run checkpoint index stays
+                # monotonically above the restored one.
+                epoch0 = int(prev_step)
 
         with prof:
             result: LoopResult = run_scan_loop(
@@ -282,9 +287,10 @@ class MultigridTrainer:
                                   else None),
                 track_best=cfg.track_best,
                 data=data,
+                start_epoch=epoch0,
             )
         if ckptr is not None:
-            ckptr.save(result.epochs_run, result.state)
+            ckptr.save(epoch0 + result.epochs_run, result.state)
 
         # Final predictions at full corrector scale
         # (src/multigrid_model.py:359-384); optionally from the best state.

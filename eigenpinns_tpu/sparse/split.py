@@ -125,6 +125,17 @@ class SplitBanded:
         A = A.tocsr()
         A.sum_duplicates()
         n = A.shape[0]
+        # The banded core's VJP applies the core itself as A^T (no
+        # transpose core is attached on this path), and the remainder's
+        # mirror entries may land in the core — both assume NUMERIC
+        # symmetry, not just pattern symmetry. Reject anything else.
+        d = (A - A.T).tocsr()
+        if d.nnz and abs(d).max() > 1e-6 * max(abs(A).max(), 1e-300):
+            raise ValueError(
+                "SplitBanded requires a numerically symmetric operator "
+                f"(max |A - A^T| = {abs(d).max():.3g}); use "
+                "SparseELL/BandedELL.from_scipy, which attach an explicit "
+                "transpose for the VJP")
         if X is not None:
             if n_clusters is None:
                 n_clusters = max(1, int(np.ceil(n / max(window * 24, 1))))

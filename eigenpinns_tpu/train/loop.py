@@ -38,10 +38,13 @@ def run_scan_loop(
     chunk: int = 100,
     early_stop_patience: int | None = None,
     early_stop_metric: str = "loss",
+    early_stop_mode: str = "improve",
+    early_stop_tol: float = 0.0,
     log_every: int = 0,
     log_fn: Callable | None = None,
     track_best: bool = False,
     data: Any = None,
+    start_epoch: int = 0,
 ) -> LoopResult:
     """Run `step_fn` for up to n_epochs, fused in jitted scan chunks.
 
@@ -50,6 +53,11 @@ def run_scan_loop(
     metric fails to improve on its best and the loop stops when the
     counter exceeds the patience. The counter is tracked inside the scan
     carry so fusing does not change behavior.
+
+    `early_stop_mode="below_tol"` switches the counter to the notebook's
+    EMA-slope convergence monitor (iterative_eigenvalues cell 1:233-237):
+    it increments while |metric| < early_stop_tol (the smoothed loss has
+    flattened) and resets otherwise. best-tracking still follows "loss".
 
     `data` (optional pytree) is forwarded to step_fn(state, epoch, data)
     as a JIT ARGUMENT. Large constants (operators, features) must travel
@@ -68,9 +76,18 @@ def run_scan_loop(
             else:
                 state, metrics = step_fn(state, epoch0 + i, data)
             val = metrics[early_stop_metric]
-            improved = val < best
-            best = jnp.where(improved, val, best)
-            patience = jnp.where(improved, 0, patience + 1)
+            if early_stop_mode == "below_tol":
+                # Convergence = |metric| stays under tol (e.g. a flat EMA
+                # slope); best/improved track the loss for track_best.
+                loss_val = metrics.get("loss", val)
+                improved = loss_val < best
+                best = jnp.where(improved, loss_val, best)
+                flat = jnp.abs(val) < early_stop_tol
+                patience = jnp.where(flat, patience + 1, 0)
+            else:
+                improved = val < best
+                best = jnp.where(improved, val, best)
+                patience = jnp.where(improved, 0, patience + 1)
             if track_best:
                 best_state = jax.tree_util.tree_map(
                     lambda b, s: jnp.where(improved, s, b),
@@ -89,9 +106,12 @@ def run_scan_loop(
     while epochs_run < n_epochs:
         t_chunk = time.time()
         length = min(chunk, n_epochs - epochs_run)
-        carry, metrics = run_chunk(carry, data,
-                                   jnp.asarray(epochs_run, jnp.int32),
-                                   length)
+        # start_epoch offsets the epoch seen by step_fn (checkpoint
+        # resume: ramps/schedules keyed on the epoch must continue, not
+        # replay from zero); epochs_run/history still count this session.
+        carry, metrics = run_chunk(
+            carry, data,
+            jnp.asarray(start_epoch + epochs_run, jnp.int32), length)
         metrics = {k: np.asarray(v) for k, v in metrics.items()}
         chunk_times.append((length, time.time() - t_chunk))
         for k, v in metrics.items():

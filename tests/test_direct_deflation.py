@@ -138,3 +138,18 @@ def test_deflation_perturbation_and_early_stop(sphere_problem):
                           perturb_sigma=0.01, early_stop_patience=100)
     assert np.isfinite(res.eigenvalues).all()
     assert res.epochs_per_mode[0] <= 2000
+
+
+def test_deflation_ema_slope_monitor(sphere_problem):
+    """The EMA must seed from the first loss (not stay inf) and the slope
+    monitor must be finite and drive early stopping (ADVICE r1)."""
+    X, Kop, Mop, *_ = sphere_problem
+    res = solve_deflation(Kop, Mop, X, n_modes=1, hidden=(16, 16),
+                          epochs_per_mode=2000, scan_chunk=50,
+                          early_stop_patience=25, ema_decay=0.9,
+                          ema_slope_tol=1e2, seed=0)
+    slope = res.histories[0]["ema_slope"]
+    assert np.isinf(slope[0])           # unseeded first step only
+    assert np.isfinite(slope[1:]).all()
+    # a huge tol makes the flat-slope counter fire almost immediately
+    assert res.epochs_per_mode[0] < 2000

@@ -171,3 +171,33 @@ def test_optimizer_stacks():
     # SGDR schedule restarts: lr jumps back up after the first cycle.
     _, sched = adamw_cosine_restarts(1.0, 10, n_cycles=3)
     assert float(sched(9)) < 0.1 < float(sched(11))
+
+
+def test_scan_loop_start_epoch_and_below_tol():
+    """start_epoch offsets the epoch step_fn sees (checkpoint-resume
+    ramps continue); below_tol mode stops once the metric stays under
+    tol for `patience` epochs (ADVICE r1)."""
+    import jax.numpy as jnp
+
+    from eigenpinns_tpu.train.loop import run_scan_loop
+
+    def step(state, epoch):
+        return state + 1, {"loss": jnp.float32(1.0),
+                           "epoch": epoch.astype(jnp.float32)}
+
+    res = run_scan_loop(step, jnp.int32(0), n_epochs=10, chunk=4,
+                        start_epoch=100)
+    assert res.history["epoch"].tolist() == [float(e) for e in
+                                             range(100, 110)]
+
+    # below_tol: metric drops under tol at epoch 5 -> counter starts,
+    # stop fires when it exceeds patience=3 (epoch 8, end of chunk 9).
+    def step2(state, epoch):
+        m = jnp.where(epoch >= 5, 1e-9, 1.0).astype(jnp.float32)
+        return state, {"loss": m, "m": m}
+
+    res2 = run_scan_loop(step2, jnp.int32(0), n_epochs=100, chunk=5,
+                         early_stop_patience=3, early_stop_metric="m",
+                         early_stop_mode="below_tol", early_stop_tol=1e-6)
+    assert res2.stopped_early
+    assert res2.epochs_run <= 15

@@ -188,3 +188,26 @@ def test_cli_end_to_end(tmp_path):
     pts, tris, pd = read_vtu(str(vtu))
     assert pts.shape[0] == 187
     assert set(pd) == {"v0", "v1", "v2", "v3"}
+
+
+def test_multigrid_resume_continues_epoch_counter(small_hierarchy, tmp_path):
+    """Checkpoint resume must not replay the corrector-scale ramp and must
+    save a strictly higher checkpoint index (ADVICE r1)."""
+    ckdir = str(tmp_path / "ck")
+    cfg = small_config(epochs=60, scan_chunk=20, scale_ramp_epochs=100,
+                       checkpoint_dir=ckdir)
+    MultigridTrainer(cfg).train(small_hierarchy)
+
+    cfg2 = small_config(epochs=40, scan_chunk=20, scale_ramp_epochs=100,
+                        checkpoint_dir=ckdir)
+    res2 = MultigridTrainer(cfg2).train(small_hierarchy)
+    # Ramp continues from epoch 60: first recorded scale is 60/100 and the
+    # final one is 99/100 (epochs 60..99) — NOT a replay from zero.
+    scale = np.asarray(res2.history["scale"])
+    assert abs(scale[0] - 0.60) < 1e-6, scale[:3]
+    assert abs(scale[-1] - 0.99) < 1e-6
+
+    from eigenpinns_tpu.train.checkpoint import TrainCheckpointer
+
+    step, _ = TrainCheckpointer(ckdir).restore_latest()
+    assert step == 100

@@ -175,3 +175,33 @@ def test_hierarchy_save_load_roundtrip(coarse1_mesh, tmp_path):
                  scale_ramp_epochs=10, plateau_patience=10**9)
     res = MultigridTrainer(cfg).train(h2)
     assert np.isfinite(res.eigenvalues).all()
+
+
+def test_banded_connectivity_edges_follow_permutation(coarse1_mesh):
+    """With banded operators the node data is RCM-permuted per level;
+    connectivity edges must be remapped into the same numbering
+    (ADVICE r1)."""
+    kw = dict(hierarchy=[100], n_modes=4,
+              sampler_type="graph_coarsening",
+              edge_computation_type="connectivity_based")
+    h_ell = build_hierarchy(coarse1_mesh, operator_format="ell", **kw)
+    h_band = build_hierarchy(coarse1_mesh, operator_format="banded",
+                             max_bandwidth=4096, **kw)
+    assert h_band.perms is not None
+    for lvl in range(h_band.n_levels):
+        perm = h_band.perms[lvl]
+        inv = np.empty(len(perm), dtype=np.int64)
+        inv[perm] = np.arange(len(perm))
+        expect = np.sort(inv[h_ell.edge_index_list[lvl]], axis=1)
+        got = np.sort(np.asarray(h_band.edge_index_list[lvl]), axis=1)
+        # Same undirected edge set in the permuted numbering.
+        assert {tuple(e) for e in expect.T.tolist()} == \
+               {tuple(e) for e in got.T.tolist()}
+        # And each edge joins vertices at identical coordinates.
+        X = h_band.X_list[lvl]
+        e = np.asarray(h_band.edge_index_list[lvl])
+        X_ell = h_ell.X_list[lvl]
+        e_ell = np.asarray(h_ell.edge_index_list[lvl])
+        d_band = np.linalg.norm(X[e[0]] - X[e[1]], axis=1)
+        d_ell = np.linalg.norm(X_ell[e_ell[0]] - X_ell[e_ell[1]], axis=1)
+        assert np.isclose(np.sort(d_band), np.sort(d_ell)).all()

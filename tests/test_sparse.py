@@ -210,3 +210,18 @@ def test_split_banded_decomposition():
     g = np.asarray(jax.grad(lambda u: jnp.sum(spmm(op, u) ** 2))(U))
     gref = 2 * Lp.T @ (Lp @ np.asarray(U, np.float64))
     assert np.abs(g - gref).max() / np.abs(gref).max() < 1e-4
+
+
+def test_split_banded_rejects_nonsymmetric():
+    """The split path's VJP assumes numeric symmetry — reject anything
+    else at build time (ADVICE r1)."""
+    import pytest as _pt
+    import scipy.sparse as sp
+
+    from eigenpinns_tpu.sparse import SplitBanded
+
+    n = 300
+    A = sp.diags([np.full(n - 1, -1.0), np.full(n, 2.0),
+                  np.full(n - 1, -0.5)], [-1, 0, 1]).tocsr()
+    with _pt.raises(ValueError, match="symmetric"):
+        SplitBanded.from_scipy(A)
