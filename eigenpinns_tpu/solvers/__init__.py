@@ -13,6 +13,11 @@ from eigenpinns_tpu.solvers.smoothers import (
     m_orthonormalize_cholesky,
 )
 from eigenpinns_tpu.solvers.direct import train_joint, DirectResult
+from eigenpinns_tpu.solvers.direct_sharded import (
+    train_joint_sharded,
+    prepare_sharded_problem,
+    ShardedDirectResult,
+)
 from eigenpinns_tpu.solvers.deflation import solve_deflation, DeflationResult
 from eigenpinns_tpu.solvers.schrodinger_driver import (
     solve_schrodinger,
@@ -40,6 +45,7 @@ __all__ = [
     "jacobi_smooth", "cg_solve", "coarse_grid_correction",
     "smooth_eigenfunctions", "m_orthonormalize_cholesky",
     "train_joint", "DirectResult", "solve_deflation", "DeflationResult",
+    "train_joint_sharded", "prepare_sharded_problem", "ShardedDirectResult",
     "solve_schrodinger", "SchrodingerResult", "SchrodingerMode",
     "hierarchical_eigensolve", "UpscaleResult", "train_per_level",
     "TransferResult", "solve_eikonal", "EikonalResult",

@@ -174,9 +174,16 @@ class BandedELL:
         return op, perm
 
     def pad_u(self, U: jax.Array) -> jax.Array:
-        """Pad U's row axis to N_pad + B so every window read is in-range."""
+        """Pad U's row axis to N_pad + B so every window read is in-range.
+
+        U may already be longer than the target (rectangular shard-local
+        blocks read from a halo window — parallel/sharded_banded.py); the
+        builder guarantees every window read is in range in that case.
+        """
         n_pad = self.band.shape[0]
         target = n_pad + self.bandwidth
+        if U.shape[0] >= target:
+            return U
         return jnp.pad(U, ((0, target - U.shape[0]), (0, 0)))
 
 

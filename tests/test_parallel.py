@@ -119,3 +119,124 @@ def test_graft_dryrun_multichip():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+# ---- ShardedBanded: halo-banded distributed SpMM on REAL operators ------
+
+
+@pytest.fixture(scope="module")
+def bunny_fem(bunny_mesh):
+    from eigenpinns_tpu.geometry import assemble_stiffness_mass
+
+    return assemble_stiffness_mass(bunny_mesh)
+
+
+def test_sharded_banded_spmm_real_operator(mesh8, bunny_fem, rng):
+    """Halo-banded sharded SpMM (fwd + VJP) is exact on the bunny FEM
+    stiffness — a real mesh operator, not a synthetic tridiagonal."""
+    from eigenpinns_tpu.parallel import ShardedBanded, sharded_banded_spmm
+
+    K, _ = bunny_fem
+    n = K.shape[0]
+    op, perm = ShardedBanded.from_scipy(K, 8)
+    f = sharded_banded_spmm(op, mesh8)
+    U = np.zeros((op.n_pad, 4), np.float32)
+    U[:n] = rng.normal(size=(n, 4)).astype(np.float32)
+    Us = shard_array(jnp.asarray(U), mesh8, P("data"))
+    Kp = K.tocsr()[perm][:, perm]
+    ref = Kp @ np.asarray(U[:n], np.float64)
+    out = np.asarray(jax.jit(f)(Us))[:n]
+    assert np.abs(out - ref).max() / np.abs(ref).max() < 1e-5
+    g = np.asarray(jax.jit(jax.grad(lambda u: jnp.sum(f(u) ** 2)))(Us))[:n]
+    gref = 2 * Kp.T @ (Kp @ np.asarray(U[:n], np.float64))
+    assert np.abs(g - gref).max() / np.abs(gref).max() < 1e-5
+    assert np.abs(np.asarray(op.diagonal()) - Kp.diagonal()).max() < 1e-5
+
+
+def test_sharded_banded_rejects_crossing_stencil(mesh8):
+    """A mesh too small for 8 shards (bandwidth > rows/shard) must be
+    rejected so callers fall back to all_gather — the stencil-check
+    failure path on a real operator."""
+    from eigenpinns_tpu.geometry import assemble_stiffness_mass, load_mesh
+    from eigenpinns_tpu.parallel import ShardedBanded
+
+    m = load_mesh("/root/reference/resources/coarse_1.obj")
+    K, _ = assemble_stiffness_mass(m)
+    with pytest.raises(ValueError, match="stencil|bandwidth"):
+        ShardedBanded.from_scipy(K, 8)
+
+
+def test_sharded_split_spmm_real_cloud(mesh8, rng):
+    """Cluster-split sharded SpMM (banded core via halo + remainder via
+    all_gather) is exact on a real point-cloud Laplacian."""
+    from eigenpinns_tpu.geometry import point_cloud_laplacian
+    from eigenpinns_tpu.parallel import (
+        build_sharded_operator,
+        sharded_split_spmm,
+    )
+
+    X = rng.normal(size=(2000, 3))
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    L, _ = point_cloud_laplacian(X, n_neighbors=14)
+    kind, (core, rem), perm = build_sharded_operator(
+        L, 8, X=X, max_bandwidth=128, window=128)
+    assert kind == "split" and rem is not None
+    f = sharded_split_spmm(core, rem, mesh8)
+    n = L.shape[0]
+    U = np.zeros((core.n_pad, 4), np.float32)
+    U[:n] = rng.normal(size=(n, 4)).astype(np.float32)
+    Us = shard_array(jnp.asarray(U), mesh8, P("data"))
+    Lp = L.tocsr()[perm][:, perm]
+    ref = Lp @ np.asarray(U[:n], np.float64)
+    out = np.asarray(jax.jit(f)(Us))[:n]
+    assert np.abs(out - ref).max() / np.abs(ref).max() < 1e-5
+    g = np.asarray(jax.jit(jax.grad(lambda u: jnp.sum(f(u) ** 2)))(Us))[:n]
+    gref = 2 * Lp.T @ (Lp @ np.asarray(U[:n], np.float64))
+    assert np.abs(g - gref).max() / np.abs(gref).max() < 1e-5
+
+
+def test_halo_spmm_real_mesh_operator(bunny_fem, rng):
+    """The ELL ring-halo SpMM works on a real RCM-ordered FEM stiffness
+    (not just the synthetic tridiagonal)."""
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    K, _ = bunny_fem
+    perm = np.asarray(reverse_cuthill_mckee(K.tocsr(), symmetric_mode=True))
+    Kp = K.tocsr()[perm][:, perm].tocsr()
+    mesh4 = make_mesh(4)   # bunny RCM bandwidth 384 < 2503/4 rows/shard
+    op = ShardedOperator.from_ell(SparseELL.from_scipy(Kp), 4)
+    f = halo_spmm(op, mesh4)
+    n = K.shape[0]
+    U = rng.normal(size=(n, 4)).astype(np.float32)
+    Up = jnp.pad(jnp.asarray(U), ((0, op.n_dev * op.rows_per_dev - n),
+                                  (0, 0)))
+    out = np.asarray(f(shard_array(Up, mesh4, P("data"))))[:n]
+    ref = Kp @ U.astype(np.float64)
+    assert np.abs(out - ref).max() / np.abs(ref).max() < 1e-5
+
+
+def test_train_joint_sharded_matches_single_device(rng):
+    """The distributed production trainer reproduces the single-device
+    trainer: same loss trajectory and the same eigenvalues (VERDICT r1
+    item 2's done-criterion)."""
+    from eigenpinns_tpu.geometry import point_cloud_laplacian
+    from eigenpinns_tpu.solvers import train_joint, train_joint_sharded
+
+    X = rng.normal(size=(1200, 3))
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    L, M = point_cloud_laplacian(X, n_neighbors=15)
+    kw = dict(n_modes=4, hidden=(32, 32), epochs=400, scan_chunk=100,
+              lr_start=3e-3, lr_end=1e-3, w_res=1.0, w_orth=10.0, seed=0)
+    r1 = train_joint(as_operator(L), as_operator(M), X, **kw)
+    r8 = train_joint_sharded(L, M, X, n_devices=8, **kw)
+    d = np.abs(r1.history["loss"] - r8.history["loss"]) / np.maximum(
+        np.abs(r1.history["loss"]), 1e-9)
+    assert d.max() < 1e-3
+    lam_d = np.abs(r1.eigenvalues - r8.eigenvalues) / np.maximum(
+        np.abs(r1.eigenvalues), 1e-6)
+    assert lam_d.max() < 1e-4
+    # Returned eigenvectors are in the caller's vertex order: residuals
+    # check out against the ORIGINAL operators.
+    U = r8.eigenvectors
+    r = L @ U - (M @ U) * r8.eigenvalues[None, :]
+    assert np.linalg.norm(r) / np.linalg.norm(U) < 1.0
