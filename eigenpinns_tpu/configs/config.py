@@ -83,6 +83,11 @@ class Config:
     checkpoint_dir: str = ""
     mesh_shape: list = dataclasses.field(default_factory=list)  # device mesh
     profile_dir: str = ""
+    loss_mxu_precision: str = "high"  # banded SpMM passes INSIDE the loss:
+                                      # 'high' = bf16x3 (~1e-5 rel err,
+                                      # 1.4x faster), 'highest' = f32.
+                                      # Rayleigh-Ritz / LOBPCG polish always
+                                      # run 'highest'.
 
     @classmethod
     def from_yaml(cls, path: str) -> "Config":

@@ -1,5 +1,6 @@
 from eigenpinns_tpu.losses.losses import (
     rayleigh_and_residual,
+    rayleigh_residual_orth,
     gram_orthogonality,
     normalization,
     deflation,
@@ -20,7 +21,7 @@ from eigenpinns_tpu.losses.whitening import (
 )
 
 __all__ = [
-    "rayleigh_and_residual", "gram_orthogonality", "normalization",
+    "rayleigh_and_residual", "rayleigh_residual_orth", "gram_orthogonality", "normalization",
     "deflation", "trace_loss", "ordering", "eigenvalue_target",
     "zero_mean", "zero_lambda", "diversity", "smoothness", "projection",
     "newton_schulz_inv_sqrt", "newton_schulz_orthonormalize",

@@ -22,6 +22,21 @@ import jax
 import jax.numpy as jnp
 
 from eigenpinns_tpu.sparse import gram, spmm
+from eigenpinns_tpu.sparse.ops import spmm_gram
+
+
+def rayleigh_residual_orth(U, K, M, eps: float = 1e-12):
+    """(lam, residual_mse, orth): the three per-level physics terms of
+    src/multigrid_model.py:309-322, sharing the K U / M U products and
+    the fused one-pass U^T M U / U^T K U Grams (banded operators never
+    re-read U or A U from HBM for the reduction)."""
+    Ku, Gk = spmm_gram(K, U)
+    Mu, Gm = spmm_gram(M, U)
+    lam = jnp.diagonal(Gk) / (jnp.diagonal(Gm) + eps)
+    res = Ku - Mu * lam[None, :]
+    k = U.shape[1]
+    orth = jnp.sum((Gm - jnp.eye(k, dtype=U.dtype)) ** 2) / k
+    return lam, jnp.mean(res**2), orth
 
 
 def rayleigh_and_residual(U, K, M, eps: float = 1e-12):

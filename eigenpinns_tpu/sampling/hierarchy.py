@@ -138,9 +138,9 @@ class Hierarchy:
                    if f"indices_{i}" in dense]
         if operator_format in ("banded", "auto") and has_perms:
             # Saved operators are ALREADY RCM-permuted; band directly.
-            from eigenpinns_tpu.sparse.banded import BandedELL
+            from eigenpinns_tpu.sparse.rolling import RollingBanded
 
-            K_ops = [BandedELL.from_scipy(
+            K_ops = [RollingBanded.from_scipy(
                 K, dtype=dtype, reorder=False,
                 max_bandwidth=max_bandwidth)[0] for K in K_sp]
         else:
@@ -232,15 +232,16 @@ def build_hierarchy(
     actual = [x.shape[0] for x in X_list]
 
     # Optional RCM permutation per level for the banded-dense format
-    # (sparse/banded.py: contiguous-window MXU SpMM, measured ~18x over
-    # the gather path at 300k nodes). Every per-level array below is
+    # (sparse/rolling.py: ring-buffer uniform-window MXU SpMM; supersedes
+    # sparse/banded.py's full-window-DMA kernel — ~22x over the gather
+    # path at 300k nodes and ~1.2x over the full-window kernel). Every per-level array below is
     # permuted consistently; `perms` lets consumers map back.
     perms = None
     banded_ops: list = []
     if operator_format in ("banded", "auto"):
         from scipy.sparse.csgraph import reverse_cuthill_mckee
 
-        from eigenpinns_tpu.sparse.banded import BandedELL
+        from eigenpinns_tpu.sparse.rolling import RollingBanded
 
         perms = []
         ok = True
@@ -251,8 +252,9 @@ def build_hierarchy(
             Kp = K.tocsr()[perm][:, perm].tocsr()
             Mp = M.tocsr()[perm][:, perm].tocsr()
             try:
-                op = BandedELL.from_scipy(Kp, dtype=dtype, reorder=False,
-                                          max_bandwidth=max_bandwidth)[0]
+                op = RollingBanded.from_scipy(
+                    Kp, dtype=dtype, reorder=False,
+                    max_bandwidth=max_bandwidth)[0]
             except ValueError:
                 ok = False
                 break
@@ -292,7 +294,7 @@ def build_hierarchy(
 
     # Canonical device operators (built once — see module docstring).
     if banded_ops:
-        from eigenpinns_tpu.sparse.banded import BandedELL as _B
+        from eigenpinns_tpu.sparse.rolling import RollingBanded as _R
 
         K_ops = banded_ops
         M_ops = []
@@ -302,7 +304,7 @@ def build_hierarchy(
                 # Consistent (non-lumped) mass: band it with the SAME
                 # (already-applied) permutation — FEM K and M share a
                 # sparsity pattern, hence a bandwidth.
-                op = _B.from_scipy(M.tocsr(), dtype=dtype, reorder=False,
+                op = _R.from_scipy(M.tocsr(), dtype=dtype, reorder=False,
                                    max_bandwidth=max_bandwidth)[0]
             M_ops.append(op)
     else:

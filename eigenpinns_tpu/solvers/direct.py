@@ -29,6 +29,7 @@ from eigenpinns_tpu.losses import (
     newton_schulz_orthonormalize,
     ordering,
     rayleigh_and_residual,
+    rayleigh_residual_orth,
     trace_loss,
     zero_lambda,
     zero_mean,
@@ -76,6 +77,7 @@ def train_joint(
     seed: int = 0,
     rayleigh_ritz_finish: bool = True,
     batch_nodes: int = 0,
+    loss_mxu_precision: str = "high",
     log_fn=None,
     log_every: int = 0,
 ) -> DirectResult:
@@ -123,6 +125,13 @@ def train_joint(
 
     n_nodes = X.shape[0]
 
+    # Loss SpMMs tolerate bf16x3; the Rayleigh-Ritz/rayleigh finish below
+    # keeps the original ('highest') operators.
+    K_l = (K.with_precision(loss_mxu_precision)
+           if hasattr(K, "with_precision") else K)
+    M_l = (M.with_precision(loss_mxu_precision)
+           if hasattr(M, "with_precision") else M)
+
     def loss_fn(params, key):
         U_raw = model.apply(params, X)
         if batch_nodes:
@@ -146,11 +155,10 @@ def train_joint(
                 metrics["loss"] = total
             return total, metrics
         if mode == "whiten":
-            U = newton_schulz_orthonormalize(U_raw, M, n_iters=ns_iters)
+            U = newton_schulz_orthonormalize(U_raw, M_l, n_iters=ns_iters)
         else:
             U = U_raw
-        lam, res = rayleigh_and_residual(U, K, M)
-        orth = gram_orthogonality(U, M)
+        lam, res, orth = rayleigh_residual_orth(U, K_l, M_l)
         total = w_res * res + w_orth * orth
         if w_trace:
             total = total + w_trace * trace_loss(lam)
@@ -160,7 +168,7 @@ def train_joint(
             total = total + w_zero * zero_lambda(
                 jnp.sort(lam))
         if w_zero_mean:
-            total = total + w_zero_mean * zero_mean(U, M)
+            total = total + w_zero_mean * zero_mean(U, M_l)
         if w_diversity:
             total = total + w_diversity * diversity(jnp.sort(lam), min_gap)
         metrics = {"loss": total, "res": res, "orth": orth,

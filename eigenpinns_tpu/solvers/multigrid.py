@@ -34,6 +34,7 @@ from eigenpinns_tpu.losses import (
     ordering,
     projection,
     rayleigh_and_residual,
+    rayleigh_residual_orth,
     trace_loss,
     zero_mean,
 )
@@ -144,7 +145,15 @@ class MultigridTrainer:
 
     # ---- training -------------------------------------------------------
 
-    def train(self, h, log_fn=None) -> MultigridResult:
+    def train(self, h, log_fn=None, eval_callback=None) -> MultigridResult:
+        """Train the corrector over the hierarchy.
+
+        `eval_callback(epochs_run, U_finest)` (optional) runs host-side
+        after every scan chunk with the CURRENT finest-level
+        M-normalized prediction (full corrector scale, same as the final
+        extraction) — the hook behind mid-training subspace-error
+        tracking.
+        """
         import eigenpinns_tpu
 
         eigenpinns_tpu.warmup_transfer_async()
@@ -185,13 +194,21 @@ class MultigridTrainer:
         # Everything large travels as a jit ARGUMENT through the scan loop
         # (closure-captured arrays get baked into the executable: 2x HBM
         # and compile-payload blowups at scale — see train/loop docstring).
+        def _loss_op(op):
+            # Training-loss SpMMs tolerate bf16x3 (cfg.loss_mxu_precision);
+            # everything outside the loss (features, RR, polish) keeps the
+            # operators' default 'highest'.
+            if hasattr(op, "with_precision"):
+                return op.with_precision(cfg.loss_mxu_precision)
+            return op
+
         data = {
             "feats": feats,
             "U_base": U_base,
             "graph": graph,
             "lam_target": lam_list[0],
-            "K_ops": tuple(h.K_ops),
-            "M_ops": tuple(h.M_ops),
+            "K_ops": tuple(_loss_op(o) for o in h.K_ops),
+            "M_ops": tuple(_loss_op(o) for o in h.M_ops),
             "Pt_ops": tuple(h.Pt_ops),
         }
 
@@ -211,10 +228,10 @@ class MultigridTrainer:
                 if cfg.normalize_in_loss:
                     U_l = m_normalize_columns(U_l, M)
                 U_slices.append(U_l)
-                lam_l, res_l = rayleigh_and_residual(U_l, K, M)
+                lam_l, res_l, orth_l = rayleigh_residual_orth(U_l, K, M)
                 lam_levels.append(lam_l)
                 loss_res = loss_res + res_l
-                loss_orth = loss_orth + gram_orthogonality(U_l, M)
+                loss_orth = loss_orth + orth_l
                 if cfg.weight_projection > 0 and i >= 1:
                     loss_proj = loss_proj + projection(
                         U_l, data["Pt_ops"][i - 1], U_slices[i - 1])
@@ -277,6 +294,20 @@ class MultigridTrainer:
                 # monotonically above the restored one.
                 epoch0 = int(prev_step)
 
+        chunk_cb = None
+        if eval_callback is not None:
+            off_f, n_f = offsets[-1], sizes[-1]
+
+            @jax.jit
+            def _predict_finest(params):
+                corr = model.apply(params, feats, graph)
+                U_f = (U_base + cfg.corrector_scale * corr)[
+                    off_f:off_f + n_f]
+                return m_normalize_columns(U_f, h.M_ops[-1])
+
+            def chunk_cb(epochs_run, state):
+                eval_callback(epochs_run, _predict_finest(state.params))
+
         with prof:
             result: LoopResult = run_scan_loop(
                 step, start_state,
@@ -288,6 +319,7 @@ class MultigridTrainer:
                 track_best=cfg.track_best,
                 data=data,
                 start_epoch=epoch0,
+                chunk_callback=chunk_cb,
             )
         if ckptr is not None:
             ckptr.save(epoch0 + result.epochs_run, result.state)

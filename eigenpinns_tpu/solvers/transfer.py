@@ -29,6 +29,7 @@ from eigenpinns_tpu.losses import (
     gram_orthogonality,
     projection,
     rayleigh_and_residual,
+    rayleigh_residual_orth,
 )
 from eigenpinns_tpu.models import SimpleCorrector
 from eigenpinns_tpu.sparse import m_normalize_columns, neighbor_mean_operator
@@ -126,8 +127,7 @@ def train_per_level(
         def loss_fn(params):
             corr = model.apply(params, feats, edges)
             U_pred = U_init + corrector_scale * corr
-            lam, res = rayleigh_and_residual(U_pred, K, M)
-            orth = gram_orthogonality(U_pred, M)
+            lam, res, orth = rayleigh_residual_orth(U_pred, K, M)
             proj = projection(U_pred, Pt, U_coarse)
             total = w_res * res + w_orth * orth + w_proj * proj
             return total, {"loss": total, "res": res, "orth": orth,

@@ -243,6 +243,145 @@ def _banded_bwd(A, g):
 banded_spmm.defvjp(_banded_fwd, _banded_bwd)
 
 
+def banded_spmm_gram_reference(A: BandedELL, U: jax.Array):
+    """Pure-jnp (W, G) = (A @ U, U^T A U) — oracle + CPU fallback."""
+    W = banded_spmm_reference(A, U)
+    G = jnp.dot(U.T, W, precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32).astype(U.dtype)
+    return W, G
+
+
+def _spmm_gram_impl(A: BandedELL, U: jax.Array):
+    if jax.default_backend() == "tpu":
+        return banded_spmm_gram_pallas(A, U)
+    return banded_spmm_gram_reference(A, U)
+
+
+@jax.custom_vjp
+def banded_spmm_gram(A: BandedELL, U: jax.Array):
+    """Fused (A @ U, U^T A U) in ONE pass over the operator.
+
+    The k x k Gram of the loss (`U^T M U` of gram_orthogonality,
+    src/multigrid_model.py:320-322) normally costs a second full read of
+    U and of W = A @ U from HBM after the SpMM. Here the per-tile partial
+    Gram U[tile]^T W[tile] accumulates on the MXU while the window is
+    already in VMEM, so the reduction is free of extra HBM traffic.
+
+    VJP (general A, using the attached banded transpose when present):
+        dU = A^T (gW + U gG) + W gG^T
+    — one more banded SpMM plus two thin (N,k)x(k,k) matmuls; the
+    operator itself is a constant of the optimization (zero cotangent).
+    """
+    return _spmm_gram_impl(A, U)
+
+
+def _spmm_gram_fwd(A, U):
+    W, G = _spmm_gram_impl(A, U)
+    return (W, G), (A, U, W)
+
+
+def _spmm_gram_bwd(res, cot):
+    A, U, W = res
+    gW, gG = cot
+    At = A.transpose_banded if A.transpose_banded is not None else A
+    rhs = gW + jnp.dot(U, gG, precision=jax.lax.Precision.HIGHEST,
+                       preferred_element_type=jnp.float32).astype(U.dtype)
+    dU = _banded_impl(At, rhs) + jnp.dot(
+        W, gG.T, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32).astype(U.dtype)
+    return (_zero_like_banded(A), dU)
+
+
+banded_spmm_gram.defvjp(_spmm_gram_fwd, _spmm_gram_bwd)
+
+
+def banded_spmm_gram_pallas(A: BandedELL, U: jax.Array,
+                            interpret: bool = False):
+    """Pallas kernel: per-tile window DMA + MXU matmul + fused k x k Gram.
+
+    Identical double-buffered window pipeline to `banded_spmm_pallas`;
+    additionally U's own (tile, k) row block arrives through the grid's
+    BlockSpec pipeline (correct even when a tile's window were not to
+    contain its own rows) and the partial Gram U_tile^T W_tile
+    accumulates into a VMEM-resident (k, k) output across the
+    sequential grid.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    k_orig = U.shape[1]
+    k = _round_up(k_orig, 128)
+    if k != k_orig:
+        U = jnp.pad(U, ((0, 0), (0, k - k_orig)))
+    Upad = A.pad_u(U)
+    tile, B = A.tile, A.bandwidth
+    n_pad = A.band.shape[0]
+    n_tiles = n_pad // tile
+
+    def kernel(starts_ref, band_ref, u_tile_ref, u_ref, out_ref, gram_ref,
+               scratch, sem):
+        t = pl.program_id(0)
+        n_t = pl.num_programs(0)
+
+        def window_dma(slot, tt):
+            return pltpu.make_async_copy(
+                u_ref.at[pl.ds(starts_ref[tt], B), :],
+                scratch.at[slot], sem.at[slot])
+
+        @pl.when(t == 0)
+        def _():
+            window_dma(0, 0).start()
+
+        @pl.when(t + 1 < n_t)
+        def _():
+            window_dma((t + 1) % 2, t + 1).start()
+
+        window_dma(t % 2, t).wait()
+        w = jnp.dot(band_ref[:], scratch[t % 2],
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)
+        out_ref[:] = w.astype(out_ref.dtype)
+        g = jnp.dot(u_tile_ref[:].astype(jnp.float32).T, w,
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)
+
+        @pl.when(t == 0)
+        def _():
+            gram_ref[:] = g
+
+        @pl.when(t > 0)
+        def _():
+            gram_ref[:] = gram_ref[:] + g
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((tile, B), lambda t, starts: (t, 0)),
+            pl.BlockSpec((tile, k), lambda t, starts: (t, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile, k), lambda t, starts: (t, 0)),
+            pl.BlockSpec((k, k), lambda t, starts: (0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, B, k), U.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    W, G = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((n_pad, k), U.dtype),
+            jax.ShapeDtypeStruct((k, k), jnp.float32),
+        ),
+        interpret=interpret,
+    )(A.starts, A.band, Upad[:n_pad], Upad)
+    return W[: A.n, : k_orig], G[: k_orig, : k_orig].astype(U.dtype)
+
+
 def banded_spmm_pallas(A: BandedELL, U: jax.Array,
                        interpret: bool = False) -> jax.Array:
     """Pallas TPU kernel: per-tile DMA of the U window + MXU matmul."""

@@ -107,6 +107,10 @@ def spmm(A, U: jax.Array) -> jax.Array:
 
     if isinstance(A, BandedELL):
         return banded_spmm(A, U)
+    from eigenpinns_tpu.sparse.rolling import RollingBanded, rolling_spmm
+
+    if isinstance(A, RollingBanded):
+        return rolling_spmm(A, U)
     from eigenpinns_tpu.sparse.split import SplitBanded, split_spmm
 
     if isinstance(A, SplitBanded):
@@ -117,6 +121,34 @@ def spmm(A, U: jax.Array) -> jax.Array:
 def spmv(A, u: jax.Array) -> jax.Array:
     """A @ u for a single vector (N,)."""
     return spmm(A, u[:, None])[:, 0]
+
+
+def spmm_gram(A, U: jax.Array):
+    """(A @ U, U^T A U) — fused one-pass kernel for banded operators.
+
+    The k x k Gram is the loss's orthonormality core
+    (src/multigrid_model.py:320-322); computing it as a separate
+    `gram(U, spmm(A, U))` costs a second full HBM read of U and A @ U.
+    Banded/split operators accumulate it on the MXU inside the SpMM
+    kernel; other formats fall back to the two-pass form.
+    """
+    from eigenpinns_tpu.sparse.banded import BandedELL, banded_spmm_gram
+
+    if isinstance(A, BandedELL):
+        return banded_spmm_gram(A, U)
+    from eigenpinns_tpu.sparse.rolling import (
+        RollingBanded,
+        rolling_spmm_gram,
+    )
+
+    if isinstance(A, RollingBanded):
+        return rolling_spmm_gram(A, U)
+    from eigenpinns_tpu.sparse.split import SplitBanded, split_spmm_gram
+
+    if isinstance(A, SplitBanded):
+        return split_spmm_gram(A, U)
+    W = spmm(A, U)
+    return W, gram(U, W)
 
 
 def gram(U: jax.Array, V: jax.Array) -> jax.Array:

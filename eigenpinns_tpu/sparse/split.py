@@ -24,7 +24,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from eigenpinns_tpu.sparse.banded import BandedELL, _round_up, banded_spmm
+from eigenpinns_tpu.sparse.banded import (
+    BandedELL,
+    _round_up,
+    banded_spmm,
+    banded_spmm_gram,
+)
 from eigenpinns_tpu.sparse.formats import SparseELL
 from eigenpinns_tpu.sparse.ops import spmm as _ell_dispatch_spmm
 
@@ -199,3 +204,16 @@ def split_spmm(A: SplitBanded, U: jax.Array) -> jax.Array:
     if A.remainder is not None:
         out = out + _ell_dispatch_spmm(A.remainder, U)
     return out
+
+
+def split_spmm_gram(A: SplitBanded, U: jax.Array):
+    """(A @ U, U^T A U): fused Gram on the banded core, plus the thin
+    remainder correction U^T (A_rem U)."""
+    from eigenpinns_tpu.sparse.ops import gram
+
+    W, G = banded_spmm_gram(A.core, U)
+    if A.remainder is not None:
+        Wr = _ell_dispatch_spmm(A.remainder, U)
+        W = W + Wr
+        G = G + gram(U, Wr)
+    return W, G

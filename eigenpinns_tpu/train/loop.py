@@ -45,6 +45,7 @@ def run_scan_loop(
     track_best: bool = False,
     data: Any = None,
     start_epoch: int = 0,
+    chunk_callback: Callable | None = None,
 ) -> LoopResult:
     """Run `step_fn` for up to n_epochs, fused in jitted scan chunks.
 
@@ -64,6 +65,11 @@ def run_scan_loop(
     this way, not as closures: closure-captured arrays are baked into the
     compiled program, which doubles HBM and can exceed compile-payload
     limits (observed as HTTP 413 on the tunneled TPU at ~300MB).
+
+    `chunk_callback(epochs_run, state)` (optional) runs HOST-SIDE after
+    every chunk with the live training state — the observability hook
+    for mid-training evaluation (subspace-error tracking, custom
+    checkpoint cadence) without breaking the scan fusion.
     """
     import numpy as np
 
@@ -117,6 +123,8 @@ def run_scan_loop(
         for k, v in metrics.items():
             history.setdefault(k, []).append(v)
         epochs_run += length
+        if chunk_callback is not None:
+            chunk_callback(epochs_run, carry[0])
         if log_every and log_fn is not None:
             for e in range(epochs_run - length, epochs_run):
                 if e % log_every == 0 or e == n_epochs - 1:

@@ -211,3 +211,24 @@ def test_multigrid_resume_continues_epoch_counter(small_hierarchy, tmp_path):
 
     step, _ = TrainCheckpointer(ckdir).restore_latest()
     assert step == 100
+
+
+def test_eval_callback_tracks_subspace(small_hierarchy):
+    """The per-chunk eval hook delivers finest-level predictions whose
+    final snapshot matches the trainer's own final extraction."""
+    h = small_hierarchy
+    cfg = small_config(epochs=100, scan_chunk=25)
+    seen = []
+
+    def cb(epochs_run, U_finest):
+        seen.append((epochs_run, np.asarray(U_finest)))
+
+    result = MultigridTrainer(cfg).train(h, eval_callback=cb)
+    assert [e for e, _ in seen] == [25, 50, 75, 100]
+    n_finest = h.actual_hierarchy[-1]
+    assert all(U.shape == (n_finest, 5) for _, U in seen)
+    # Last snapshot = the trainer's own normalized finest-level block
+    # (pre-Rayleigh-Ritz), modulo the ramp (full scale in both).
+    off = sum(h.actual_hierarchy[:-1])
+    final = result.U_all[off:]
+    assert np.abs(seen[-1][1] - final).max() < 1e-4

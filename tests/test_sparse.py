@@ -225,3 +225,189 @@ def test_split_banded_rejects_nonsymmetric():
                   np.full(n - 1, -0.5)], [-1, 0, 1]).tocsr()
     with _pt.raises(ValueError, match="symmetric"):
         SplitBanded.from_scipy(A)
+
+
+def test_banded_spmm_gram_fused(rng):
+    """Fused (A@U, U^T A U) matches the two-pass form on the reference and
+    Pallas-interpret paths, and its VJP matches the analytic gradient."""
+    import jax
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+
+    from eigenpinns_tpu.sparse import (
+        BandedELL,
+        banded_spmm_gram,
+        banded_spmm_gram_pallas,
+    )
+
+    n, k = 300, 8
+    K = sp.diags([-1.0, -0.5, 2.9, -0.5, -1.0], [-2, -1, 0, 1, 2],
+                 shape=(n, n)).tocsr()
+    op, perm = BandedELL.from_scipy(K)
+    Kp = (K[perm][:, perm]).toarray()
+    U = rng.normal(size=(n, k)).astype(np.float32)
+    W_ref = Kp @ np.asarray(U, np.float64)
+    G_ref = np.asarray(U, np.float64).T @ W_ref
+
+    W, G = banded_spmm_gram(op, jnp.asarray(U))
+    assert np.abs(np.asarray(W) - W_ref).max() / np.abs(W_ref).max() < 1e-5
+    assert np.abs(np.asarray(G) - G_ref).max() / np.abs(G_ref).max() < 1e-5
+
+    W2, G2 = banded_spmm_gram_pallas(op, jnp.asarray(U), interpret=True)
+    assert np.abs(np.asarray(W2) - W_ref).max() / np.abs(W_ref).max() < 1e-5
+    assert np.abs(np.asarray(G2) - G_ref).max() / np.abs(G_ref).max() < 1e-5
+
+    # VJP: f = sum(W^2) + sum(G^2); df/dU = 2 A^T A U
+    #      + 2 [A U G^T + A^T U G]  (A symmetric here).
+    def f(U):
+        W, G = banded_spmm_gram(op, U)
+        return jnp.sum(W**2) + jnp.sum(G**2)
+
+    g = np.asarray(jax.grad(f)(jnp.asarray(U)))
+    Uf = np.asarray(U, np.float64)
+    ref = 2 * Kp.T @ (Kp @ Uf) + 2 * (Kp @ Uf @ G_ref.T + Kp.T @ Uf @ G_ref)
+    assert np.abs(g - ref).max() / np.abs(ref).max() < 1e-4
+
+
+def test_split_spmm_gram_fused():
+    """SplitBanded fused gram (core fused + remainder correction) matches
+    the dense two-pass form on a real point-cloud operator."""
+    import jax.numpy as jnp
+
+    from eigenpinns_tpu.geometry import point_cloud_laplacian
+    from eigenpinns_tpu.sparse import SplitBanded, split_spmm_gram
+
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(600, 3))
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    L, _ = point_cloud_laplacian(X, n_neighbors=12)
+    op, perm = SplitBanded.from_scipy(L, X=X, window=256, n_clusters=6)
+    assert op.remainder is not None  # the test must exercise both parts
+    Lp = (L[perm][:, perm]).toarray()
+    U = rng.normal(size=(600, 6)).astype(np.float32)
+    W_ref = Lp @ np.asarray(U, np.float64)
+    G_ref = np.asarray(U, np.float64).T @ W_ref
+
+    W, G = split_spmm_gram(op, jnp.asarray(U))
+    assert np.abs(np.asarray(W) - W_ref).max() / np.abs(W_ref).max() < 1e-5
+    assert np.abs(np.asarray(G) - G_ref).max() / np.abs(G_ref).max() < 2e-5
+
+
+def test_rayleigh_residual_orth_matches_two_pass(rng):
+    """The fused loss helper agrees with the separate loss terms."""
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+
+    from eigenpinns_tpu.losses import (
+        gram_orthogonality,
+        rayleigh_and_residual,
+        rayleigh_residual_orth,
+    )
+    from eigenpinns_tpu.sparse import BandedELL, Diagonal
+
+    n, k = 256, 5
+    Ks = sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(n, n)).tocsr()
+    K, _ = BandedELL.from_scipy(Ks, reorder=False)
+    M = Diagonal(jnp.asarray(1.0 + rng.random(n).astype(np.float32)))
+    U = jnp.asarray(rng.normal(size=(n, k)).astype(np.float32))
+
+    lam, res = rayleigh_and_residual(U, K, M)
+    orth = gram_orthogonality(U, M)
+    lam2, res2, orth2 = rayleigh_residual_orth(U, K, M)
+    assert np.allclose(np.asarray(lam), np.asarray(lam2), rtol=1e-5)
+    assert np.allclose(float(res), float(res2), rtol=1e-5)
+    assert np.allclose(float(orth), float(orth2), rtol=1e-5)
+
+
+def test_rolling_banded_spmm_and_gram(rng):
+    """Rolling-window format: reference, Pallas-interpret, fused Gram and
+    diagonal all agree with dense; VJP matches the analytic gradient."""
+    import jax
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+
+    from eigenpinns_tpu.sparse import (
+        RollingBanded,
+        rolling_spmm,
+        rolling_spmm_gram,
+        rolling_spmm_gram_pallas,
+        rolling_spmm_pallas,
+    )
+
+    n, k = 333, 7   # deliberately not multiples of the tile
+    K = sp.diags([-1.0, -0.5, 2.9, -0.5, -1.0], [-2, -1, 0, 1, 2],
+                 shape=(n, n)).tocsr()
+    op, perm = RollingBanded.from_scipy(K)
+    Kp = (K[perm][:, perm]).toarray()
+    U = rng.normal(size=(n, k)).astype(np.float32)
+    W_ref = Kp @ np.asarray(U, np.float64)
+    G_ref = np.asarray(U, np.float64).T @ W_ref
+
+    W = np.asarray(rolling_spmm(op, jnp.asarray(U)))
+    assert np.abs(W - W_ref).max() / np.abs(W_ref).max() < 1e-5
+    assert np.allclose(np.asarray(op.diagonal()), np.diag(Kp), atol=1e-6)
+
+    W2 = np.asarray(rolling_spmm_pallas(op, jnp.asarray(U), interpret=True))
+    assert np.abs(W2 - W_ref).max() / np.abs(W_ref).max() < 1e-5
+
+    Wg, Gg = rolling_spmm_gram(op, jnp.asarray(U))
+    assert np.abs(np.asarray(Wg) - W_ref).max() / np.abs(W_ref).max() < 1e-5
+    assert np.abs(np.asarray(Gg) - G_ref).max() / np.abs(G_ref).max() < 1e-5
+
+    Wp, Gp = rolling_spmm_gram_pallas(op, jnp.asarray(U), interpret=True)
+    assert np.abs(np.asarray(Wp) - W_ref).max() / np.abs(W_ref).max() < 1e-5
+    assert np.abs(np.asarray(Gp) - G_ref).max() / np.abs(G_ref).max() < 1e-5
+
+    def f(U):
+        W, G = rolling_spmm_gram(op, U)
+        return jnp.sum(W**2) + jnp.sum(G**2)
+
+    g = np.asarray(jax.grad(f)(jnp.asarray(U)))
+    Uf = np.asarray(U, np.float64)
+    ref = 2 * Kp.T @ (Kp @ Uf) + 2 * (Kp @ Uf @ G_ref.T + Kp.T @ Uf @ G_ref)
+    assert np.abs(g - ref).max() / np.abs(ref).max() < 1e-4
+
+
+def test_rolling_banded_nonsymmetric(rng):
+    import jax
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+
+    from eigenpinns_tpu.sparse import RollingBanded, rolling_spmm
+
+    n = 260
+    A = sp.diags([-0.3, 2.0, -1.2], [-1, 0, 1], shape=(n, n)).tocsr()
+    op, _ = RollingBanded.from_scipy(A, reorder=False)
+    assert op.transpose_rolling is not None
+    Ad = A.toarray()
+    U = jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32))
+    out = np.asarray(rolling_spmm(op, U))
+    assert np.abs(out - Ad @ np.asarray(U, np.float64)).max() < 1e-5
+
+    def f(U):
+        return jnp.sum(rolling_spmm(op, U) ** 2)
+
+    g = np.asarray(jax.grad(f)(U))
+    ref = 2 * Ad.T @ (Ad @ np.asarray(U, np.float64))
+    assert np.abs(g - ref).max() / np.abs(ref).max() < 1e-4
+
+
+def test_rolling_banded_real_operator(rng):
+    """On a real point-cloud Laplacian (RCM-reordered), rolling == dense."""
+    import jax.numpy as jnp
+
+    from eigenpinns_tpu.geometry import point_cloud_laplacian
+    from eigenpinns_tpu.sparse import RollingBanded, rolling_spmm_gram
+
+    r2 = np.random.default_rng(7)
+    X = r2.normal(size=(500, 3))
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    L, _ = point_cloud_laplacian(X, n_neighbors=12)
+    op, perm = RollingBanded.from_scipy(L)
+    Lp = (L[perm][:, perm]).toarray()
+    U = r2.normal(size=(500, 6)).astype(np.float32)
+    W_ref = Lp @ np.asarray(U, np.float64)
+    G_ref = np.asarray(U, np.float64).T @ W_ref
+    W, G = rolling_spmm_gram(op, jnp.asarray(U))
+    assert np.abs(np.asarray(W) - W_ref).max() / np.abs(W_ref).max() < 2e-5
+    assert np.abs(np.asarray(G) - G_ref).max() / np.abs(G_ref).max() < 2e-5
