@@ -4,7 +4,8 @@ from eigenpinns_tpu.solvers.rayleigh_ritz import (
     rayleigh_ritz,
     rayleigh_ritz_robust,
 )
-from eigenpinns_tpu.solvers.lobpcg import lobpcg, lobpcg_from_random, LobpcgResult
+from eigenpinns_tpu.solvers.lobpcg import (
+    lobpcg, lobpcg_blocked, lobpcg_from_random, LobpcgResult)
 from eigenpinns_tpu.solvers.smoothers import (
     jacobi_smooth,
     cg_solve,
@@ -41,7 +42,8 @@ from eigenpinns_tpu.solvers.oracle import (
 
 __all__ = [
     "eigh_generalized", "filtered_whiten", "rayleigh_ritz",
-    "rayleigh_ritz_robust", "lobpcg", "lobpcg_from_random", "LobpcgResult",
+    "rayleigh_ritz_robust", "lobpcg", "lobpcg_blocked", "lobpcg_from_random",
+    "LobpcgResult",
     "jacobi_smooth", "cg_solve", "coarse_grid_correction",
     "smooth_eigenfunctions", "m_orthonormalize_cholesky",
     "train_joint", "DirectResult", "solve_deflation", "DeflationResult",

@@ -79,8 +79,18 @@ def lobpcg(
     max_iter: int = 200,
     tol: float = 1e-6,
     whiten_eps: float = 1e-8,
+    Y: jax.Array | None = None,
 ) -> LobpcgResult:
-    """Smallest-k generalized eigenpairs from initial block X0 (N, k)."""
+    """Smallest-k generalized eigenpairs from initial block X0 (N, k).
+
+    `Y` (N, j), M-orthonormal: external DEFLATION constraints — the
+    iteration is confined to the M-orthogonal complement of span(Y), so
+    it converges to the smallest eigenpairs NOT in Y. This is how large
+    mode counts are computed in blocks (see lobpcg_blocked): converged
+    blocks become Y for the next sweep. Constraint handling is the
+    classical one (Knyazev's lobpcg.py `Y`): X0, W and P are projected
+    against Y every iteration.
+    """
     if k is None:
         k = X0.shape[1]
     n = X0.shape[0]
@@ -88,6 +98,10 @@ def lobpcg(
 
     diagK = K.diagonal()
     precond = 1.0 / jnp.clip(diagK, 1e-12)
+    MY = spmm(M, Y) if Y is not None else None
+
+    def _deflate(V):
+        return _project_out(V, Y, MY) if Y is not None else V
 
     def body(state):
         X, P, lam, it, _ = state
@@ -96,13 +110,14 @@ def lobpcg(
         R = spmm(K, X) - MX * lam[None, :]
         res = jnp.linalg.norm(R, axis=0) / jnp.clip(jnp.abs(lam), 1.0)
 
-        # Precondition and M-orthogonalize W against X, then orthonormalize.
+        # Precondition and M-orthogonalize W against Y and X, then
+        # orthonormalize.
         W = precond[:, None] * R
-        W = _project_out(W, X, MX)
+        W = _project_out(_deflate(W), X, MX)
         W, good_w = _b_orthonormalize(W, M, whiten_eps)
         # Same for the conjugate block P.
         MW = spmm(M, W)
-        P = _project_out(_project_out(P, X, MX), W, MW)
+        P = _project_out(_project_out(_deflate(P), X, MX), W, MW)
         P, good_p = _b_orthonormalize(P, M, whiten_eps)
 
         # S is (numerically) M-orthonormal -> standard Rayleigh-Ritz.
@@ -122,8 +137,8 @@ def lobpcg(
         _, _, _, it, res = state
         return jnp.logical_and(it < max_iter, jnp.max(res) > tol)
 
-    # Start from an M-orthonormal X0; P starts at zero.
-    X0, _ = _b_orthonormalize(X0, M, whiten_eps)
+    # Start from an M-orthonormal X0 (deflated against Y); P starts at 0.
+    X0, _ = _b_orthonormalize(_deflate(X0), M, whiten_eps)
     lam0 = jnp.diag(gram(X0, spmm(K, X0)))
     P0 = jnp.zeros_like(X0)
     state = (X0, P0, lam0, jnp.asarray(0), jnp.full((k,), jnp.inf, dtype))
@@ -144,3 +159,63 @@ def lobpcg_from_random(K, M, k: int, key=None, dtype=jnp.float32, **kw):
     X0 = jax.random.normal(key, (n, k), dtype=dtype)
     X0 = X0.at[:, 0].set(1.0)
     return lobpcg(K, M, X0, k=k, **kw)
+
+
+def lobpcg_blocked(
+    K,
+    M,
+    k_total: int,
+    block: int = 16,
+    guard: int = 4,
+    max_iter: int = 200,
+    tol: float = 1e-6,
+    key=None,
+    dtype=jnp.float32,
+    X0_full: jax.Array | None = None,
+    log_fn=None,
+):
+    """k_total smallest eigenpairs in deflated sweeps of `block` modes.
+
+    Large mode counts (BASELINE config 5: 50 modes at 1M vertices) do not
+    fit one LOBPCG block: the (N, 3k) basis and the O(k^2) Rayleigh-Ritz
+    conditioning both degrade, and the edge of a big block converges far
+    slower than its interior. Blocks of ~16 with `guard` extra vectors
+    each, M-orthogonally DEFLATED against everything already converged
+    (the `Y` constraint), keep every sweep well-conditioned at any
+    k_total. `X0_full` (N, >= k_total) optionally warm-starts every block
+    (e.g. prolongated coarse eigenvectors).
+
+    Returns (eigenvalues (k_total,), eigenvectors (N, k_total),
+    residual_norms (k_total,)) as numpy arrays.
+    """
+    import numpy as np
+
+    n = K.shape[0]
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    # Fixed-width deflation basis (zero columns are inert in the
+    # projector) so every sweep reuses ONE compiled executable.
+    Y = jnp.zeros((n, k_total), dtype=dtype)
+    vals, vecs, resids = [], [], []
+    b0 = 0
+    while b0 < k_total:
+        keep = min(block, k_total - b0)
+        kb = min(block + guard, k_total + guard - b0)
+        key, sub = jax.random.split(key)
+        X0 = jax.random.normal(sub, (n, kb), dtype=dtype)
+        if X0_full is not None and b0 + keep <= X0_full.shape[1]:
+            X0 = X0.at[:, :keep].set(
+                jnp.asarray(X0_full[:, b0:b0 + keep], dtype=dtype))
+        elif b0 == 0:
+            X0 = X0.at[:, 0].set(1.0)   # rigid-body mode
+        res = lobpcg(K, M, X0, k=kb, max_iter=max_iter, tol=tol, Y=Y)
+        vals.append(np.asarray(res.eigenvalues[:keep]))
+        vecs.append(np.asarray(res.eigenvectors[:, :keep]))
+        resids.append(np.asarray(res.residual_norms[:keep]))
+        if log_fn is not None:
+            log_fn(b0, keep, res)
+        Y = jax.lax.dynamic_update_slice(
+            Y, res.eigenvectors[:, :keep], (0, b0))
+        b0 += keep
+    return (np.concatenate(vals), np.concatenate(vecs, axis=1),
+            np.concatenate(resids))

@@ -157,3 +157,54 @@ def test_coarse_grid_correction_improves_eigenvectors(rng):
         return float(jnp.linalg.norm(residual(Un, Kf, Mf, lam)))
 
     assert resnorm(np.asarray(U_cgc)) < 0.7 * resnorm(U_guess)
+
+
+def test_lobpcg_deflation_constraint(rng):
+    """With Y spanning the lowest modes, LOBPCG converges to the NEXT
+    eigenpairs up."""
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+
+    from eigenpinns_tpu.solvers.lobpcg import lobpcg
+    from eigenpinns_tpu.sparse import as_operator
+
+    n = 200
+    K = sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(n, n)).tocsr()
+    M = sp.identity(n, format="csr")
+    Kop, Mop = as_operator(K), as_operator(M)
+    from scipy.linalg import eigh
+    vals, vecs = eigh(K.toarray())
+
+    Y = jnp.asarray(vecs[:, :3], jnp.float32)
+    X0 = jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32))
+    res = lobpcg(Kop, Mop, X0, k=4, max_iter=300, tol=1e-7, Y=Y)
+    got = np.sort(np.asarray(res.eigenvalues))
+    assert np.abs(got - vals[3:7]).max() / vals[3:7].max() < 1e-4, (
+        got, vals[3:7])
+
+
+def test_lobpcg_blocked_sweeps(rng):
+    """Blocked deflated sweeps reproduce eigsh across block boundaries
+    (the config-5 'many modes' driver)."""
+    from eigenpinns_tpu.geometry import point_cloud_laplacian
+    from eigenpinns_tpu.solvers.lobpcg import lobpcg_blocked
+    from eigenpinns_tpu.solvers.oracle import eigsh_smallest
+    from eigenpinns_tpu.sparse import as_operator
+
+    r2 = np.random.default_rng(5)
+    X = r2.normal(size=(400, 3))
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    L, M = point_cloud_laplacian(X, n_neighbors=14)
+    vals_ref, _ = eigsh_smallest(L, M, 10)
+
+    vals, vecs, res = lobpcg_blocked(
+        as_operator(L), as_operator(M), k_total=10, block=4, guard=2,
+        max_iter=400, tol=1e-7)
+    # Sorted ascending across blocks, matching eigsh (skip the lambda=0
+    # rigid-body mode in the relative comparison).
+    assert np.all(np.diff(vals) > -1e-5)
+    rel = np.abs(vals[1:] - vals_ref[1:]) / np.abs(vals_ref[1:])
+    assert rel.max() < 1e-3, (vals, vals_ref)
+    # Global M-orthonormality ACROSS blocks (deflation worked).
+    G = vecs.T @ (M @ vecs)
+    assert np.abs(G - np.eye(10)).max() < 1e-3
