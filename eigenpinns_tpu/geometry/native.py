@@ -18,6 +18,26 @@ _LIB = None
 _LIB_TRIED = False
 
 
+def _try_build(path: str) -> None:
+    """One-shot automatic build: the .so is a build artifact that does
+    not survive fresh checkouts, and a silent fallback to the Python
+    paths costs minutes at 300k-1M nodes. Opt out with
+    EIGENPINNS_NO_NATIVE_BUILD=1."""
+    if os.environ.get("EIGENPINNS_NO_NATIVE_BUILD"):
+        return
+    csrc = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), "csrc")
+    if not os.path.exists(os.path.join(csrc, "Makefile")):
+        return
+    import subprocess
+
+    try:
+        subprocess.run(["make", "-C", csrc], capture_output=True,
+                       timeout=120, check=False)
+    except Exception:
+        pass
+
+
 def load_native():
     """The loaded CDLL or None (cached)."""
     global _LIB, _LIB_TRIED
@@ -25,6 +45,8 @@ def load_native():
         return _LIB
     _LIB_TRIED = True
     path = os.path.join(os.path.dirname(__file__), "_native.so")
+    if not os.path.exists(path):
+        _try_build(path)
     if not os.path.exists(path):
         return None
     try:

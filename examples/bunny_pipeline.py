@@ -1,8 +1,14 @@
 """Reference-parity production run: bunny, 10 modes, multigrid + polish.
 
     python examples/bunny_pipeline.py
+
+Set EIGENPINNS_SMOKE=1 to run a seconds-scale miniature (CI smoke mode).
 """
+import os
+
 import numpy as np
+
+SMOKE = bool(int(os.environ.get("EIGENPINNS_SMOKE", "0")))
 
 from eigenpinns_tpu.configs import Config
 from eigenpinns_tpu.diagnostics import comprehensive_diagnostics
@@ -12,10 +18,12 @@ from eigenpinns_tpu.sampling import build_hierarchy
 from eigenpinns_tpu.solvers.multigrid import MultigridTrainer
 
 mesh = load_mesh("/root/reference/resources/bunny.obj")
-h = build_hierarchy(mesh, [128, 512, 1024], n_modes=10,
-                    operator_format="auto")
-cfg = Config(n_modes=10, hierarchy=[128, 512, 1024], epochs=2000,
-             scan_chunk=200, polish_iters=100, log_every=500, verbose=True)
+levels = [64, 128] if SMOKE else [128, 512, 1024]
+h = build_hierarchy(mesh, levels, n_modes=10, operator_format="auto")
+cfg = Config(n_modes=10, hierarchy=levels,
+             epochs=30 if SMOKE else 2000,
+             scan_chunk=10 if SMOKE else 200,
+             polish_iters=10 if SMOKE else 100, log_every=500, verbose=True)
 res = MultigridTrainer(cfg).train(h)
 print("eigenvalues:", np.round(res.eigenvalues, 4))
 save_eigenfunctions("outputs/bunny_model.vtu", h.meshes[-1],

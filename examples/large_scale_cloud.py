@@ -1,8 +1,14 @@
 """300k-point cloud, 20 modes, banded MXU operators (stretch config).
 
     python examples/large_scale_cloud.py
+
+Set EIGENPINNS_SMOKE=1 to run a seconds-scale miniature (CI smoke mode).
 """
+import os
+
 import numpy as np
+
+SMOKE = bool(int(os.environ.get("EIGENPINNS_SMOKE", "0")))
 
 from eigenpinns_tpu.configs import Config
 from eigenpinns_tpu.geometry import TriMesh
@@ -11,7 +17,7 @@ from eigenpinns_tpu.solvers.multigrid import MultigridTrainer
 from eigenpinns_tpu.solvers.oracle import eigsh_smallest
 
 rng = np.random.default_rng(0)
-n = 300_000
+n = 3_000 if SMOKE else 300_000
 theta = rng.uniform(0, 2 * np.pi, n)
 phi = np.arccos(rng.uniform(-1, 1, n))
 r = 1.0 + 0.3 * np.sin(3 * theta) * np.sin(2 * phi)
@@ -19,13 +25,17 @@ X = r[:, None] * np.stack([np.sin(phi) * np.cos(theta),
                            np.sin(phi) * np.sin(theta), np.cos(phi)], 1)
 mesh = TriMesh(X, np.zeros((1, 3), np.int32))
 
-h = build_hierarchy(mesh, [1024, 16384, 65536], n_modes=20,
+levels = [256, 1024] if SMOKE else [1024, 16384, 65536]
+h = build_hierarchy(mesh, levels, n_modes=20,
                     pc_neighbors=15, prolongation_neighbors=8,
                     k_neighbors=8, operator_format="auto")
-cfg = Config(n_modes=20, hierarchy=[1024, 16384, 65536],
-             hidden_layers=[256] * 4, epochs=400, scan_chunk=100,
+cfg = Config(n_modes=20, hierarchy=levels,
+             hidden_layers=[64] * 2 if SMOKE else [256] * 4,
+             epochs=20 if SMOKE else 400,
+             scan_chunk=10 if SMOKE else 100,
              corrector_scale=1.0, scale_ramp_epochs=200,
-             plateau_patience=10**9, polish_iters=100)
+             plateau_patience=10**9,
+             polish_iters=10 if SMOKE else 100)
 res = MultigridTrainer(cfg).train(h)
 vals, _ = eigsh_smallest(h.K_scipy[-1], h.M_scipy[-1], 20)
 rel = np.abs(res.eigenvalues[1:] - vals[1:]) / np.abs(vals[1:])
