@@ -65,9 +65,12 @@ def test_deflation_sequential_modes(sphere_problem):
                           lambda_delta=1.8, w_defl=300.0)
     # Mode 0: constant, lambda ~ 0.
     assert abs(res.eigenvalues[0]) < 0.05, res.eigenvalues
-    # Mode 1 near the first sphere harmonic (lambda ~ 1.93), tighter than
-    # the reference's recorded mode-2+ accuracy (30-60% errors).
-    assert abs(res.eigenvalues[1] - vals[1]) / vals[1] < 0.15, \
+    # Mode 1 near the first sphere harmonic (lambda ~ 1.93). Raw-PINN
+    # accuracy (no polish) measures 7.4% on this fixture — bound at 1.5x
+    # that so a 2x regression fails. (Solver-grade accuracy is asserted
+    # by test_deflation_with_polish: <1% with LOBPCG polish. The
+    # reference's recorded raw runs show 30-60% errors on modes 2+.)
+    assert abs(res.eigenvalues[1] - vals[1]) / vals[1] < 0.11, \
         (res.eigenvalues, vals)
     # Deflation worked: found modes are M-orthogonal.
     U = res.eigenvectors

@@ -95,8 +95,9 @@ def test_eikonal_pinn_on_sphere(sphere_mesh):
     res = solve_eikonal(sphere_mesh, enc, y, n_data=50,
                         hidden=(100,), epochs=4000, element_batch=256,
                         seed=0)
-    # The learned field reproduces the distance field decently and nearly
-    # satisfies |grad u| = 1.
+    # The learned field reproduces the distance field and nearly
+    # satisfies |grad u| = 1. Measured on this fixture: corr 0.99993,
+    # residual RMS 0.059 — bounds set so a 2x regression fails.
     corr = np.corrcoef(res.u, y)[0, 1]
-    assert corr > 0.97, corr
-    assert res.residual_rms < 0.35, res.residual_rms
+    assert corr > 0.995, corr
+    assert res.residual_rms < 0.12, res.residual_rms
