@@ -208,3 +208,29 @@ def test_lobpcg_blocked_sweeps(rng):
     # Global M-orthonormality ACROSS blocks (deflation worked).
     G = vecs.T @ (M @ vecs)
     assert np.abs(G - np.eye(10)).max() < 1e-3
+
+
+def test_spectral_basis_driver(rng):
+    """End-to-end large-scale driver at toy size: cloud -> warm start ->
+    SplitBanded -> blocked LOBPCG, output in ORIGINAL point order."""
+    from eigenpinns_tpu.geometry import point_cloud_laplacian
+    from eigenpinns_tpu.solvers import spectral_basis
+    from eigenpinns_tpu.solvers.oracle import eigsh_smallest
+
+    r2 = np.random.default_rng(7)
+    X = r2.normal(size=(1500, 3))
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    L, M = point_cloud_laplacian(X, n_neighbors=14)
+    vals_ref, vecs_ref = eigsh_smallest(L, M, 8)
+
+    res = spectral_basis(X, k=8, n_neighbors=14, coarse_n=400,
+                         window=512, block=4, guard=2, max_iter=300,
+                         tol=1e-6, log_fn=None)
+    rel = np.abs(res.eigenvalues[1:] - vals_ref[1:]) / np.abs(vals_ref[1:])
+    assert rel.max() < 1e-3, (res.eigenvalues, vals_ref)
+    # Eigenvectors came back un-permuted: Rayleigh quotients in the
+    # ORIGINAL ordering match the eigenvalues.
+    U = res.eigenvectors
+    num = np.sum(U * (L @ U), axis=0)
+    den = np.sum(U * (M @ U), axis=0)
+    assert np.allclose(num / den, res.eigenvalues, rtol=1e-3, atol=1e-4)
