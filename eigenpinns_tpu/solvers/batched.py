@@ -84,6 +84,8 @@ def train_joint_family(
                             # is satisfied by ANY eigenvectors
     seed: int = 0,
     rayleigh_ritz_finish: bool = True,
+    polish_iters: int = 0,
+    polish_tol: float = 1e-6,
 ) -> BatchedResult:
     """Jointly learn the lowest n_modes of every mesh in the family."""
     import eigenpinns_tpu
@@ -147,4 +149,19 @@ def train_joint_family(
                 as_operator(M_list[f]))
             lam_out[f] = np.asarray(w[:k])
             U_out[f, :n] = np.asarray(Uf[:, :k])
+    if polish_iters:
+        # Per-mesh LOBPCG polish from the learned subspace — the same
+        # solver-grade finish the single-mesh drivers use
+        # (solvers/multigrid.py polish_iters). One compile per distinct
+        # mesh size.
+        from eigenpinns_tpu.solvers.lobpcg import lobpcg
+        from eigenpinns_tpu.sparse import as_operator
+
+        for f in range(F):
+            n = sizes[f]
+            res_f = lobpcg(as_operator(K_list[f]), as_operator(M_list[f]),
+                           jnp.asarray(U_out[f, :n]), k=k,
+                           max_iter=polish_iters, tol=polish_tol)
+            lam_out[f] = np.asarray(res_f.eigenvalues)
+            U_out[f, :n] = np.asarray(res_f.eigenvectors)
     return BatchedResult(lam_out, U_out, sizes, result.history)

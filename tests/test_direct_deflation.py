@@ -98,11 +98,13 @@ def test_train_joint_family_batched(rng):
 
         oracles.append(eigsh_smallest(L, M, 3)[0])
     res = train_joint_family(K_list, M_list, X_list, n_modes=3,
-                             hidden=(48, 48), epochs=2500, seed=0)
+                             hidden=(48, 48), epochs=2500, seed=0,
+                             polish_iters=150)
     assert res.eigenvalues.shape == (3, 3)
     for f in range(3):
+        # Per-mesh LOBPCG polish from the learned subspace: solver-grade.
         rel = abs(res.eigenvalues[f][1] - oracles[f][1]) / oracles[f][1]
-        assert rel < 0.15, (f, res.eigenvalues[f], oracles[f])
+        assert rel < 0.01, (f, res.eigenvalues[f], oracles[f])
     # Different radii produce different lambda_1.
     assert res.eigenvalues[0][1] > res.eigenvalues[2][1]
 
