@@ -132,13 +132,22 @@ def train_joint(
     M_l = (M.with_precision(loss_mxu_precision)
            if hasattr(M, "with_precision") else M)
 
-    def loss_fn(params, key):
+    # Operators and features travel as jit ARGUMENTS through the scan
+    # loop — closure capture would bake the (possibly multi-GB) band
+    # into the executable: 2x HBM and compile-payload blowup on the
+    # tunneled TPU (see train/loop.py docstring). The 'highest' and
+    # bf16x3 views share one band buffer.
+    data = {"K": K_l, "M": M_l, "Kh": K, "Mh": M, "X": jnp.asarray(X)}
+
+    def loss_fn(params, key, data):
+        K_l, M_l = data["K"], data["M"]
+        K_, M_, X = data["Kh"], data["Mh"], data["X"]
         U_raw = model.apply(params, X)
         if batch_nodes:
             U = U_raw
             rows = jax.random.randint(key, (batch_nodes,), 0, n_nodes)
-            Ku_b = _block_apply(K, rows, U)
-            Mu_b = _block_apply(M, rows, U)
+            Ku_b = _block_apply(K_, rows, U)
+            Mu_b = _block_apply(M_, rows, U)
             U_b = U[rows]
             lam = (jnp.sum(U_b * Ku_b, axis=0)
                    / (jnp.sum(U_b * Mu_b, axis=0) + 1e-12))
@@ -175,17 +184,17 @@ def train_joint(
                    "lam_mean": jnp.mean(lam)}
         return total, metrics
 
-    def step(state: DirectState, epoch):
+    def step(state: DirectState, epoch, data):
         key = jax.random.fold_in(jax.random.PRNGKey(seed + 13), epoch)
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, key)
+            state.params, key, data)
         updates, opt_state = opt.update(grads, state.opt_state)
         params = optax.apply_updates(state.params, updates)
         return DirectState(params, opt_state), metrics
 
     result = run_scan_loop(step, DirectState(params, opt_state),
                            n_epochs=epochs, chunk=scan_chunk,
-                           log_every=log_every, log_fn=log_fn)
+                           log_every=log_every, log_fn=log_fn, data=data)
 
     U = model.apply(result.state.params, X)
     if mode == "whiten":
