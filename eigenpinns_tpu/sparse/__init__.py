@@ -22,6 +22,13 @@ from eigenpinns_tpu.sparse.split import (
     split_spmm_gram,
     spatial_cluster_order,
 )
+from eigenpinns_tpu.sparse.bsr import (
+    BSRTile,
+    bsr_spmm,
+    bsr_spmm_gram,
+    bsr_spmm_pallas,
+    bsr_spmm_reference,
+)
 from eigenpinns_tpu.sparse.ops import (
     hdot,
     spmm,
@@ -48,6 +55,8 @@ __all__ = [
     "rolling_spmm_pallas", "rolling_spmm_gram_pallas",
     "rolling_spmm_reference",
     "SplitBanded", "split_spmm", "split_spmm_gram", "spatial_cluster_order",
+    "BSRTile", "bsr_spmm", "bsr_spmm_gram", "bsr_spmm_pallas",
+    "bsr_spmm_reference",
     "hdot", "spmm", "spmm_gram", "spmv", "gram", "m_gram", "rayleigh_quotients",
     "m_normalize_columns", "normalize_columns", "residual",
     "block_diag_ell", "gcn_normalized_adjacency", "neighbor_mean",

@@ -115,6 +115,10 @@ def spmm(A, U: jax.Array) -> jax.Array:
 
     if isinstance(A, SplitBanded):
         return split_spmm(A, U)
+    from eigenpinns_tpu.sparse.bsr import BSRTile, bsr_spmm
+
+    if isinstance(A, BSRTile):
+        return bsr_spmm(A, U)
     raise TypeError(f"unsupported operator {type(A)}")
 
 
@@ -147,6 +151,10 @@ def spmm_gram(A, U: jax.Array):
 
     if isinstance(A, SplitBanded):
         return split_spmm_gram(A, U)
+    from eigenpinns_tpu.sparse.bsr import BSRTile, bsr_spmm_gram
+
+    if isinstance(A, BSRTile):
+        return bsr_spmm_gram(A, U)
     W = spmm(A, U)
     return W, gram(U, W)
 

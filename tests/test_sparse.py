@@ -411,3 +411,80 @@ def test_rolling_banded_real_operator(rng):
     W, G = rolling_spmm_gram(op, jnp.asarray(U))
     assert np.abs(np.asarray(W) - W_ref).max() / np.abs(W_ref).max() < 2e-5
     assert np.abs(np.asarray(G) - G_ref).max() / np.abs(G_ref).max() < 2e-5
+
+
+def test_bsr_strip_spmm_and_gram(rng):
+    """Strip-BSR == dense on a random symmetric operator, plus VJP and
+    the pallas interpret path (the TPU kernel's exact program)."""
+    import jax
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+
+    from eigenpinns_tpu.sparse import BSRTile, bsr_spmm, bsr_spmm_gram
+    from eigenpinns_tpu.sparse.bsr import bsr_spmm_pallas
+
+    n = 700
+    A = sp.random(n, n, density=0.01, random_state=1, format="csr")
+    A = A + A.T + sp.diags(np.ones(n) * 2.0)
+    op, perm = BSRTile.from_scipy(A)
+    Ap = A.tocsr()[perm][:, perm]
+    U = jnp.asarray(np.random.default_rng(0).normal(
+        size=(n, 5)).astype(np.float32))
+    W_ref = Ap @ np.asarray(U, np.float64)
+
+    W, G = jax.jit(bsr_spmm_gram)(op, U)
+    assert np.abs(np.asarray(W) - W_ref).max() < 1e-4
+    assert (np.abs(np.asarray(G) - np.asarray(U, np.float64).T @ W_ref).max()
+            < 5e-3)
+    Wp = bsr_spmm_pallas(op, U, interpret=True)
+    assert np.abs(np.asarray(Wp) - W_ref).max() < 1e-4
+    # Symmetric VJP: d/dU sum(sin(A U)) = A^T cos(A U).
+    g = jax.grad(lambda u: jnp.sum(jnp.sin(bsr_spmm(op, u))))(U)
+    assert np.abs(np.asarray(g) - Ap.T @ np.cos(W_ref)).max() < 1e-4
+    assert np.abs(np.asarray(op.diagonal()) - Ap.diagonal()).max() < 1e-6
+
+
+def test_bsr_nonsymmetric_transpose(rng):
+    """Nonsymmetric operators carry an explicit transpose for the VJP."""
+    import jax
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+
+    from eigenpinns_tpu.sparse import BSRTile, bsr_spmm
+
+    n = 500
+    B = (sp.random(n, n, density=0.01, random_state=2, format="csr")
+         + sp.diags(np.ones(n)))
+    op, perm = BSRTile.from_scipy(B)
+    assert op.transpose_bsr is not None
+    Bp = B.tocsr()[perm][:, perm]
+    U = jnp.asarray(np.random.default_rng(1).normal(
+        size=(n, 4)).astype(np.float32))
+    W = bsr_spmm(op, U)
+    assert np.abs(np.asarray(W) - Bp @ np.asarray(U)).max() < 1e-4
+    g = jax.grad(lambda u: jnp.sum(jnp.sin(bsr_spmm(op, u))))(U)
+    g_ref = Bp.T @ np.cos(Bp @ np.asarray(U))
+    assert np.abs(np.asarray(g) - g_ref).max() < 1e-4
+
+
+def test_bsr_real_operator_matches_rolling(rng):
+    """On a real point-cloud Laplacian the BSR and rolling formats agree
+    (cross-format check in the ORIGINAL vertex order)."""
+    import jax.numpy as jnp
+
+    from eigenpinns_tpu.geometry import point_cloud_laplacian
+    from eigenpinns_tpu.sparse import (BSRTile, RollingBanded, bsr_spmm,
+                                       rolling_spmm)
+
+    r2 = np.random.default_rng(7)
+    X = r2.normal(size=(500, 3))
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    L, _ = point_cloud_laplacian(X, n_neighbors=12)
+    U = r2.normal(size=(500, 6)).astype(np.float32)
+    opb, pb = BSRTile.from_scipy(L)
+    opr, pr = RollingBanded.from_scipy(L)
+    invb = np.argsort(pb)
+    invr = np.argsort(pr)
+    Wb = np.asarray(bsr_spmm(opb, jnp.asarray(U[pb])))[invb]
+    Wr = np.asarray(rolling_spmm(opr, jnp.asarray(U[pr])))[invr]
+    assert np.abs(Wb - Wr).max() / np.abs(Wr).max() < 2e-5
