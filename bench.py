@@ -132,21 +132,19 @@ def bench_large_n(n: int = 300_000, k: int = 20) -> dict:
 
     from eigenpinns_tpu.geometry import point_cloud_laplacian
     from eigenpinns_tpu.solvers.direct import train_joint
-    from eigenpinns_tpu.sparse import (
-        Diagonal, RollingBanded, rolling_spmm_gram)
+    from eigenpinns_tpu.sparse import BSRTile, Diagonal, bsr_spmm_gram
 
     X = make_cloud(n)
     t0 = time.time()
     L, M = point_cloud_laplacian(X, n_neighbors=15)
     log(f"[{n//1000}k] laplacian in {time.time()-t0:.1f}s, nnz={L.nnz}")
     t0 = time.time()
-    K_op, perm = RollingBanded.from_scipy(L, max_bandwidth=8192)
+    K_op, perm = BSRTile.from_scipy(L)
     M_op = Diagonal(jnp.asarray(M.diagonal()[perm], jnp.float32))
-    B = K_op.bandwidth
-    n_pad = K_op.band.shape[0]
-    log(f"[{n//1000}k] rolling-banded B'={B} in {time.time()-t0:.1f}s")
+    log(f"[{n//1000}k] strip-BSR W={K_op.strip_w} "
+        f"({K_op.data.nbytes/1e9:.2f} GB) in {time.time()-t0:.1f}s")
 
-    # --- SpMM MFU: fused rolling SpMM + Gram kernel ----------------------
+    # --- SpMM MFU: strip-BSR SpMM + Gram ---------------------------------
     # k=128 (one full lane tile) so padding does not inflate the FLOP
     # count. Timing: R iterations chained inside one jit (each feeding
     # the next) + one host readback, minus the readback baseline — the
@@ -159,7 +157,7 @@ def bench_large_n(n: int = 300_000, k: int = 20) -> dict:
     @jax.jit
     def chained(K_op, U):
         def it(c, _):
-            W, G = rolling_spmm_gram(K_op, c)
+            W, G = bsr_spmm_gram(K_op, c)
             return W / (1e-6 + jnp.max(jnp.abs(W))), G
         return jax.lax.scan(it, U, None, length=R)
 
@@ -177,13 +175,14 @@ def bench_large_n(n: int = 300_000, k: int = 20) -> dict:
         float(jnp.sum(c))
         times.append(time.time() - t0)
     t_spmm = (float(np.median(times)) - base) / R
-    # Executed FLOPs: dense-tile matmuls over the padded band
-    # (2*n_pad*B'*k) plus the fused per-tile Gram (2*n_pad*k*k).
-    flops = 2.0 * n_pad * B * kk + 2.0 * n_pad * kk * kk
+    # Executed FLOPs: strip matmuls (2 * strip_rows * strip_cols * k)
+    # plus the XLA-epilogue Gram (2*n*k*k).
+    flops = (2.0 * K_op.data.shape[0] * K_op.data.shape[1] * kk
+             + 2.0 * n * kk * kk)
     peak = peak_flops_for(jax.devices()[0])
     achieved = flops / t_spmm
     mfu = achieved / peak
-    log(f"[{n//1000}k] fused SpMM+Gram k={kk}: {t_spmm*1e3:.2f} ms, "
+    log(f"[{n//1000}k] strip-BSR SpMM+Gram k={kk}: {t_spmm*1e3:.2f} ms, "
         f"{achieved/1e12:.1f} TFLOP/s achieved, MFU={mfu:.3f} "
         f"(peak {peak/1e12:.0f} TF bf16; kernel runs f32-HIGHEST)")
 
@@ -203,7 +202,7 @@ def bench_large_n(n: int = 300_000, k: int = 20) -> dict:
         "spmm_gram_ms": round(t_spmm * 1e3, 3),
         "spmm_achieved_tflops": round(achieved / 1e12, 2),
         "spmm_mfu_vs_bf16_peak": round(mfu, 4),
-        "bandwidth_B": int(B),
+        "strip_w_tiles": int(K_op.strip_w),
     }
 
 

@@ -137,12 +137,26 @@ class Hierarchy:
         indices = [dense[f"indices_{i}"] for i in range(n_levels)
                    if f"indices_{i}" in dense]
         if operator_format in ("banded", "auto") and has_perms:
-            # Saved operators are ALREADY RCM-permuted; band directly.
+            # Saved operators are ALREADY RCM-permuted; re-canonicalize
+            # directly, with the same small-k/large-k format split as
+            # build_hierarchy (k = saved initial-guess width).
+            from eigenpinns_tpu.sparse.bsr import BSRTile
             from eigenpinns_tpu.sparse.rolling import RollingBanded
 
-            K_ops = [RollingBanded.from_scipy(
-                K, dtype=dtype, reorder=False,
-                max_bandwidth=max_bandwidth)[0] for K in K_sp]
+            k_saved = int(U_list[0].shape[1])
+
+            def _op(K):
+                if k_saved <= 32:
+                    try:
+                        return RollingBanded.from_scipy(
+                            K, dtype=dtype, reorder=False,
+                            max_bandwidth=max_bandwidth)[0]
+                    except ValueError:
+                        pass
+                return BSRTile.from_scipy(K, dtype=dtype,
+                                          reorder=False)[0]
+
+            K_ops = [_op(K) for K in K_sp]
         else:
             K_ops = [as_operator(K, dtype=dtype) for K in K_sp]
         M_ops = [as_operator(M, dtype=dtype) for M in M_sp]
@@ -231,33 +245,42 @@ def build_hierarchy(
 
     actual = [x.shape[0] for x in X_list]
 
-    # Optional RCM permutation per level for the banded-dense format
-    # (sparse/rolling.py: ring-buffer uniform-window MXU SpMM; supersedes
-    # sparse/banded.py's full-window-DMA kernel — ~22x over the gather
-    # path at 300k nodes and ~1.2x over the full-window kernel). Every per-level array below is
-    # permuted consistently; `perms` lets consumers map back.
+    # Optional RCM permutation per level for the MXU operator formats.
+    # Format choice (measured at 300k, see docs/PARITY.md): the
+    # rolling-window band (sparse/rolling.py) moves band+delta bytes and
+    # wins for NARROW mode counts (k <= ~32, where its U traffic is
+    # negligible); the strip-BSR format (sparse/bsr.py) skips the band's
+    # 66% zero tiles but pays a full (128, k_pad=128) U gather per
+    # nonempty tile, so it wins at k ~ 128 (8.7 vs 11.7 ms) and is the
+    # ONLY single-kernel option when the bandwidth explodes (no cap).
+    # Every per-level array below is permuted consistently; `perms` lets
+    # consumers map back.
     perms = None
     banded_ops: list = []
     if operator_format in ("banded", "auto"):
         from scipy.sparse.csgraph import reverse_cuthill_mckee
 
+        from eigenpinns_tpu.sparse.bsr import BSRTile
         from eigenpinns_tpu.sparse.rolling import RollingBanded
 
+        prefer_rolling = n_modes <= 32
         perms = []
-        ok = True
         new_K, new_M, new_X, new_idx = [], [], [], []
         for i, (K, M) in enumerate(zip(K_sp, M_sp)):
             perm = np.asarray(reverse_cuthill_mckee(K.tocsr(),
                                                     symmetric_mode=True))
             Kp = K.tocsr()[perm][:, perm].tocsr()
             Mp = M.tocsr()[perm][:, perm].tocsr()
-            try:
-                op = RollingBanded.from_scipy(
-                    Kp, dtype=dtype, reorder=False,
-                    max_bandwidth=max_bandwidth)[0]
-            except ValueError:
-                ok = False
-                break
+            op = None
+            if prefer_rolling:
+                try:
+                    op = RollingBanded.from_scipy(
+                        Kp, dtype=dtype, reorder=False,
+                        max_bandwidth=max_bandwidth)[0]
+                except ValueError:
+                    op = None      # bandwidth blew up -> BSR below
+            if op is None:
+                op = BSRTile.from_scipy(Kp, dtype=dtype, reorder=False)[0]
             banded_ops.append(op)
             perms.append(perm)
             new_K.append(Kp)
@@ -265,16 +288,9 @@ def build_hierarchy(
             new_X.append(X_list[i][perm])
             if indices:
                 new_idx.append(np.asarray(indices[i])[perm])
-        if ok:
-            K_sp, M_sp, X_list = new_K, new_M, new_X
-            if indices:
-                indices = new_idx
-        else:
-            if operator_format == "banded":
-                raise ValueError(
-                    "banded operator_format requested but a level exceeds "
-                    f"max_bandwidth={max_bandwidth}")
-            perms, banded_ops = None, []
+        K_sp, M_sp, X_list = new_K, new_M, new_X
+        if indices:
+            indices = new_idx
 
     # Edge lists.
     edge_index_list = []
@@ -294,18 +310,25 @@ def build_hierarchy(
 
     # Canonical device operators (built once — see module docstring).
     if banded_ops:
-        from eigenpinns_tpu.sparse.rolling import RollingBanded as _R
-
         K_ops = banded_ops
         M_ops = []
-        for M in M_sp:
+        for i, M in enumerate(M_sp):
             op = as_operator(M, dtype=dtype)
             if not hasattr(op, "diag"):
-                # Consistent (non-lumped) mass: band it with the SAME
-                # (already-applied) permutation — FEM K and M share a
-                # sparsity pattern, hence a bandwidth.
-                op = _R.from_scipy(M.tocsr(), dtype=dtype, reorder=False,
-                                   max_bandwidth=max_bandwidth)[0]
+                # Consistent (non-lumped) mass: same format + SAME
+                # (already-applied) permutation as that level's K — FEM
+                # K and M share a sparsity pattern.
+                from eigenpinns_tpu.sparse.rolling import RollingBanded
+
+                if isinstance(banded_ops[i], RollingBanded):
+                    op = RollingBanded.from_scipy(
+                        M.tocsr(), dtype=dtype, reorder=False,
+                        max_bandwidth=max_bandwidth)[0]
+                else:
+                    from eigenpinns_tpu.sparse.bsr import BSRTile
+
+                    op = BSRTile.from_scipy(M.tocsr(), dtype=dtype,
+                                            reorder=False)[0]
             M_ops.append(op)
     else:
         K_ops = [as_operator(K, dtype=dtype) for K in K_sp]

@@ -51,12 +51,18 @@ def spectral_basis(
     max_iter: int = 120,
     tol: float = 2e-4,
     operators=None,
+    operator_format: str = "bsr",
     log_fn=print,
 ) -> SpectralBasisResult:
     """Smallest-k Laplace-Beltrami eigenpairs of an (n, 3) point cloud.
 
     `operators`: optional pre-built (L_csr, m_diag) pair to skip the
     Laplacian build (e.g. when cached on disk).
+
+    `operator_format`: 'bsr' (strip-BSR, default — fastest SpMM, ~9 GB
+    HBM at 1M) or 'split' (cluster-ordered banded core + gather
+    remainder, lower HBM at the cost of SpMM speed; `window` applies
+    to this format only).
     """
     import jax
     import jax.numpy as jnp
@@ -99,9 +105,16 @@ def spectral_basis(
     timings["warm_start_s"] = time.time() - t0
 
     t0 = time.time()
-    op, perm = SplitBanded.from_scipy(L, X=np.asarray(X), window=window)
+    if operator_format == "bsr":
+        from eigenpinns_tpu.sparse import BSRTile
+
+        op, perm = BSRTile.from_scipy(L)
+        jax.block_until_ready(op.data)
+    else:
+        op, perm = SplitBanded.from_scipy(L, X=np.asarray(X),
+                                          window=window)
+        jax.block_until_ready(op.core.band)
     M_op = Diagonal(jnp.asarray(m_diag[perm], jnp.float32))
-    jax.block_until_ready(op.core.band)
     timings["operator_s"] = time.time() - t0
 
     def _log(b0, keep, res):
