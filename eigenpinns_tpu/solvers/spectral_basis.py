@@ -7,8 +7,9 @@ calls on the full operator) but sized for 10^6 nodes on one TPU chip:
 
   1. native C++ point-cloud Laplacian (geometry/point_cloud.py),
   2. coarse voxel subset -> host eigsh warm start -> kNN prolongation,
-  3. cluster-ordered SplitBanded device operator (banded MXU core +
-     sparse remainder, sparse/split.py),
+  3. a tiled MXU device operator — strip-BSR (sparse/bsr.py) or
+     cluster-ordered SplitBanded (sparse/split.py); see
+     `operator_format` below,
   4. blocked deflated LOBPCG (solvers/lobpcg.lobpcg_blocked): sweeps of
      ~16 modes, each M-orthogonally deflated against all converged ones.
 
@@ -59,10 +60,14 @@ def spectral_basis(
     `operators`: optional pre-built (L_csr, m_diag) pair to skip the
     Laplacian build (e.g. when cached on disk).
 
-    `operator_format`: 'bsr' (strip-BSR, default — fastest SpMM, ~9 GB
-    HBM at 1M) or 'split' (cluster-ordered banded core + gather
-    remainder, lower HBM at the cost of SpMM speed; `window` applies
-    to this format only).
+    `operator_format`: 'bsr' (strip-BSR, default — cheapest build
+    [~20 s vs ~440 s host-side at 1M] and fastest SpMM at <=300k) or
+    'split' (cluster-ordered banded core + gather remainder; `window`
+    applies to this format only). Measured at 1M x k=50 on one v5e:
+    'split' solved end-to-end in 193 s; 'bsr' matches its accuracy and
+    steady-state block speed but pays a heavy first-call Mosaic compile
+    at the 1M shape — prefer 'split' for ONE-SHOT 1M solves, 'bsr' when
+    several solves amortize the compile or at <=300k.
     """
     import jax
     import jax.numpy as jnp

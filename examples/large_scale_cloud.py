@@ -63,6 +63,7 @@ if bool(int(os.environ.get("EIGENPINNS_1M", "0"))):
                                  np.sin(phi) * np.sin(theta),
                                  np.cos(phi)], 1)
     res1 = spectral_basis(X1, k=10 if SMOKE else 50,
-                          coarse_n=2048 if SMOKE else 65536)
+                          coarse_n=2048 if SMOKE else 65536,
+                          operator_format="split")  # one-shot: see docstring
     print("1M timings:", res1.timings)
     print("lam[:8]:", np.round(res1.eigenvalues[:8], 5))
