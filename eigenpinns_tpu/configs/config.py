@@ -85,9 +85,13 @@ class Config:
     profile_dir: str = ""
     loss_mxu_precision: str = "high"  # banded SpMM passes INSIDE the loss:
                                       # 'high' = bf16x3 (~1e-5 rel err,
-                                      # 1.4x faster), 'highest' = f32.
-                                      # Rayleigh-Ritz / LOBPCG polish always
-                                      # run 'highest'.
+                                      # 1.4x faster), 'highest' = f32,
+                                      # 'bf16' = band STORED bf16 (half
+                                      # the HBM bytes, ~1e-3 operator
+                                      # rounding — raw-loss accuracy
+                                      # drops; pair with polish).
+                                      # Rayleigh-Ritz / LOBPCG polish
+                                      # always run 'highest'.
 
     @classmethod
     def from_yaml(cls, path: str) -> "Config":

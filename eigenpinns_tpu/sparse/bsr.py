@@ -105,9 +105,16 @@ class BSRTile:
                    t, prec)
 
     def with_precision(self, precision: str) -> "BSRTile":
+        """'highest'/'high' share the f32 strips; 'bf16' materializes a
+        half-size bf16 copy (training-loss-only precision — see
+        rolling.py)."""
         t = (None if self.transpose_bsr is None
              else self.transpose_bsr.with_precision(precision))
-        return dataclasses.replace(self, mxu_precision=precision,
+        data = self.data
+        if precision == "bf16" and data.dtype != jnp.bfloat16:
+            data = data.astype(jnp.bfloat16)
+        return dataclasses.replace(self, data=data,
+                                   mxu_precision=precision,
                                    transpose_bsr=t)
 
     @property
@@ -267,6 +274,10 @@ def bsr_spmm_pallas(A: BSRTile, U: jax.Array,
         if A.mxu_precision == "highest":
             w = jnp.dot(strip_ref[:], ubuf[t % 2],
                         precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32)
+        elif A.mxu_precision == "bf16":
+            # bf16-stored strips: one MXU pass, half the strip bytes.
+            w = jnp.dot(strip_ref[:], ubuf[t % 2].astype(jnp.bfloat16),
                         preferred_element_type=jnp.float32)
         else:
             # bf16x3 split product (Mosaic rejects Precision.HIGH inside

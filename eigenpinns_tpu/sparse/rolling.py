@@ -58,10 +58,12 @@ class RollingBanded:
     n: int
     tile: int
     transpose_rolling: Any = None   # RollingBanded | None (None = symmetric)
-    # MXU passes for the band product: 'highest' (f32, 6 bf16 passes) or
-    # 'high' (bf16x3, ~1e-6 rel err, ~2x faster). Training losses run
-    # fine at 'high'; Rayleigh-Ritz/LOBPCG polish should see 'highest'
-    # (see with_precision()).
+    # MXU passes for the band product: 'highest' (f32, 6 bf16 passes),
+    # 'high' (bf16x3 split product, ~1e-6 rel err, ~2x fewer passes), or
+    # 'bf16' (band STORED in bf16 — half the HBM bytes, one MXU pass;
+    # the operator itself is rounded to ~3 decimal digits, which only
+    # the training loss tolerates). Rayleigh-Ritz/LOBPCG polish should
+    # see 'highest' (see with_precision()).
     mxu_precision: str = "highest"
 
     def tree_flatten(self):
@@ -80,10 +82,17 @@ class RollingBanded:
         return cls(children[0], pre, win, n, tile, None, prec)
 
     def with_precision(self, precision: str) -> "RollingBanded":
-        """Same operator, different MXU precision (shares the band)."""
+        """Same operator, different MXU precision. 'highest'/'high'
+        share the f32 band; 'bf16' materializes a half-size bf16 band
+        (a one-time device cast — keep the f32 original around for the
+        solver-grade paths)."""
         t = (None if self.transpose_rolling is None
              else self.transpose_rolling.with_precision(precision))
-        return dataclasses.replace(self, mxu_precision=precision,
+        band = self.band
+        if precision == "bf16" and band.dtype != jnp.bfloat16:
+            band = band.astype(jnp.bfloat16)
+        return dataclasses.replace(self, band=band,
+                                   mxu_precision=precision,
                                    transpose_rolling=t)
 
     @property
@@ -255,6 +264,10 @@ def _rolling_kernel_call(A: RollingBanded, U: jax.Array, with_gram: bool,
         if A.mxu_precision == "highest":
             w = jnp.dot(band_ref[:], ring[:],
                         precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32)
+        elif A.mxu_precision == "bf16":
+            # bf16-stored band: one MXU pass, half the band bytes.
+            w = jnp.dot(band_ref[:], ring[:].astype(jnp.bfloat16),
                         preferred_element_type=jnp.float32)
         else:
             # bf16x3 split-float product (~1e-6 rel err, half the MXU

@@ -488,3 +488,36 @@ def test_bsr_real_operator_matches_rolling(rng):
     Wb = np.asarray(bsr_spmm(opb, jnp.asarray(U[pb])))[invb]
     Wr = np.asarray(rolling_spmm(opr, jnp.asarray(U[pr])))[invr]
     assert np.abs(Wb - Wr).max() / np.abs(Wr).max() < 2e-5
+
+
+def test_bf16_stored_operator_mode(rng):
+    """with_precision('bf16') matmuls a bf16-ROUNDED operator exactly
+    (training-loss-only precision: half the band bytes, one MXU pass)."""
+    import jax
+    import jax.numpy as jnp
+    import ml_dtypes
+
+    from eigenpinns_tpu.geometry import point_cloud_laplacian
+    from eigenpinns_tpu.sparse import BSRTile, RollingBanded, spmm
+
+    r2 = np.random.default_rng(3)
+    X = r2.normal(size=(600, 3))
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    L, _ = point_cloud_laplacian(X, n_neighbors=12)
+    U = jnp.asarray(r2.normal(size=(600, 5)).astype(np.float32))
+    for cls in (RollingBanded, BSRTile):
+        op, p = cls.from_scipy(L)
+        Lp = L.tocsr()[p][:, p]
+        Lb = Lp.copy()
+        Lb.data = Lb.data.astype(ml_dtypes.bfloat16).astype(np.float64)
+        ref = Lb @ np.asarray(U, np.float64)
+        opb = op.with_precision("bf16")
+        W = np.asarray(spmm(opb, U))
+        assert np.abs(W - ref).max() / np.abs(ref).max() < 2e-3
+        g = jax.grad(lambda u: jnp.sum(jnp.sin(spmm(opb, u))))(U)
+        gref = Lb.T @ np.cos(ref)
+        assert np.abs(np.asarray(g) - gref).max() / np.abs(gref).max() < 2e-3
+        # Rounding is bounded: vs the EXACT operator the product is
+        # within bf16 mantissa error.
+        exact = Lp @ np.asarray(U, np.float64)
+        assert np.abs(W - exact).max() / np.abs(exact).max() < 2e-2
