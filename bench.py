@@ -187,13 +187,25 @@ def bench_large_n(n: int = 300_000, k: int = 20) -> dict:
         f"(peak {peak/1e12:.0f} TF bf16; kernel runs f32-HIGHEST)")
 
     # --- training steps/s at 300k ---------------------------------------
-    Xp = X[np.asarray(perm)]
+    # Production config at k=20 (what build_hierarchy picks): rolling-
+    # window band + loss_mxu_precision='bf16' — A/B'd at this exact
+    # workload: identical raw AND polished accuracy vs 'high', +25%
+    # steps/s (docs/PARITY.md). (Formats measured here: rolling-bf16
+    # 40.0 > BSR-bf16 34.6 > rolling-high 32.0 > BSR-high 30.8.)
+    from eigenpinns_tpu.sparse import RollingBanded
+
+    t0 = time.time()
+    K_tr, perm_tr = RollingBanded.from_scipy(L, max_bandwidth=8192)
+    M_tr = Diagonal(jnp.asarray(M.diagonal()[perm_tr], jnp.float32))
+    log(f"[{n//1000}k] rolling band for training in {time.time()-t0:.1f}s")
+    Xp = X[np.asarray(perm_tr)]
     t0 = time.time()
     res = train_joint(
-        K_op, M_op, Xp, n_modes=k, hidden=(256, 256, 256),
+        K_tr, M_tr, Xp, n_modes=k, hidden=(256, 256, 256),
         mode="penalty", epochs=300, scan_chunk=50,
         w_res=1.0, w_orth=1000.0, w_trace=0.05,
-        lr_start=2e-3, lr_end=2e-4, seed=0, rayleigh_ritz_finish=False)
+        lr_start=2e-3, lr_end=2e-4, seed=0, rayleigh_ritz_finish=False,
+        loss_mxu_precision="bf16")
     steps = median_chunk_rate(res.chunk_times)
     log(f"[{n//1000}k] direct training k={k}: {steps:.1f} steps/s "
         f"(total {time.time()-t0:.1f}s)")
