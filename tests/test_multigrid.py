@@ -232,3 +232,20 @@ def test_eval_callback_tracks_subspace(small_hierarchy):
     off = sum(h.actual_hierarchy[:-1])
     final = result.U_all[off:]
     assert np.abs(seen[-1][1] - final).max() < 1e-4
+
+
+def test_multigrid_bf16_loss_precision(coarse1_mesh):
+    """loss_mxu_precision='bf16' (bf16-stored loss operators) trains
+    end-to-end and polish still reaches solver grade — the config knob
+    behind the large-N throughput numbers in docs/PARITY.md."""
+    h = build_hierarchy(coarse1_mesh, [64, 120], n_modes=4,
+                        sampler_type="farthest_point", pc_neighbors=15,
+                        operator_format="auto")
+    cfg = small_config(n_modes=4, epochs=100, polish_iters=150,
+                       loss_mxu_precision="bf16")
+    result = MultigridTrainer(cfg).train(h)
+    from eigenpinns_tpu.solvers.oracle import eigsh_smallest
+
+    vals, _ = eigsh_smallest(h.K_scipy[-1], h.M_scipy[-1], 4)
+    rel = np.abs(result.eigenvalues[1:] - vals[1:]) / vals[1:]
+    assert rel.max() < 0.01, (result.eigenvalues, vals)
