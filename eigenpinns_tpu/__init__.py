@@ -11,7 +11,8 @@ Subpackages
 -----------
 geometry     mesh IO, P1-FEM operator assembly, point-cloud Laplacian
 io           VTU (VTK XML) export/import matching the reference layout
-sparse       COO / padded-ELL sparse formats, SpMM, Gram kernels (Pallas)
+sparse       padded-ELL + banded/rolling/strip-BSR MXU operator formats,
+             fused SpMM+Gram Pallas kernels, bf16x3 / bf16 loss precision
 sampling     FPS / voxel / decimation samplers, kNN graphs, prolongation
 operators    problem definitions (Laplace-Beltrami, Schrodinger, eikonal)
 models       MLPs, GNN correctors, lambda-conditioned eigenfunction nets
