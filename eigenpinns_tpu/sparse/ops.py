@@ -15,6 +15,37 @@ import jax.numpy as jnp
 from eigenpinns_tpu.sparse.formats import Diagonal, SparseELL
 
 
+@jax.tree_util.register_pytree_node_class
+class FunctionOperator:
+    """Duck-typed operator: any U -> A @ U callable plus its diagonal.
+
+    Lets solver code written against `spmm(A, U)` / `A.diagonal()` (e.g.
+    solvers/lobpcg.py) run on operators that are FUNCTIONS — the sharded
+    shard_map SpMM closures of parallel/sharded_banded.py in particular
+    (solvers/lobpcg_sharded.py). The callable's captured arrays are
+    hoisted by jit as implicit constants; `diag` is the only traced leaf.
+    """
+
+    def __init__(self, fn, diag):
+        self.fn = fn
+        self.diag = diag
+
+    def diagonal(self):
+        return self.diag
+
+    @property
+    def shape(self):
+        n = self.diag.shape[0]
+        return (n, n)
+
+    def tree_flatten(self):
+        return (self.diag,), self.fn
+
+    @classmethod
+    def tree_unflatten(cls, fn, children):
+        return cls(fn, children[0])
+
+
 def hdot(a: jax.Array, b: jax.Array) -> jax.Array:
     """Full-f32 matmul. TPU MXU matmuls default to bf16 input rounding,
     which is fatal for orthogonalization/Gram arithmetic (observed: LOBPCG
@@ -119,6 +150,8 @@ def spmm(A, U: jax.Array) -> jax.Array:
 
     if isinstance(A, BSRTile):
         return bsr_spmm(A, U)
+    if isinstance(A, FunctionOperator):
+        return A.fn(U)
     raise TypeError(f"unsupported operator {type(A)}")
 
 

@@ -240,3 +240,34 @@ def test_train_joint_sharded_matches_single_device(rng):
     U = r8.eigenvectors
     r = L @ U - (M @ U) * r8.eigenvalues[None, :]
     assert np.linalg.norm(r) / np.linalg.norm(U) < 1.0
+
+
+def test_lobpcg_sharded_matches_eigsh(rng):
+    """Node-sharded LOBPCG (FunctionOperator over the halo SpMM) on an
+    8-device mesh reproduces eigsh — single blocks and deflated sweeps."""
+    from eigenpinns_tpu.geometry import point_cloud_laplacian
+    from eigenpinns_tpu.solvers import eigsh_smallest
+    from eigenpinns_tpu.solvers.lobpcg_sharded import lobpcg_sharded
+
+    X = rng.normal(size=(1500, 3))
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    L, M = point_cloud_laplacian(X, n_neighbors=14)
+    vals_ref, _ = eigsh_smallest(L, M, 8)
+
+    vals, vecs, resids = lobpcg_sharded(L, M, k=8, n_devices=8, X=X,
+                                        max_iter=400, tol=1e-7)
+    rel = np.abs(vals[1:] - vals_ref[1:]) / np.abs(vals_ref[1:])
+    assert rel.max() < 1e-3, (vals, vals_ref)
+    # Eigenvectors in the CALLER's order: residuals vs the original ops.
+    R = L @ vecs - (M @ vecs) * vals[None, :]
+    assert np.linalg.norm(R) / np.linalg.norm(vecs) < 1e-2
+
+    # Blocked deflated sweeps, sharded: global M-orthonormality across
+    # blocks.
+    vals_b, vecs_b, _ = lobpcg_sharded(L, M, k=8, n_devices=8, X=X,
+                                       block=3, guard=2, max_iter=400,
+                                       tol=1e-7)
+    rel_b = np.abs(vals_b[1:] - vals_ref[1:]) / np.abs(vals_ref[1:])
+    assert rel_b.max() < 1e-3, (vals_b, vals_ref)
+    G = vecs_b.T @ (M @ vecs_b)
+    assert np.abs(G - np.eye(8)).max() < 1e-3
