@@ -53,6 +53,8 @@ def spectral_basis(
     tol: float = 2e-4,
     operators=None,
     operator_format: str = "bsr",
+    n_devices: int | None = None,
+    mesh=None,
     log_fn=print,
 ) -> SpectralBasisResult:
     """Smallest-k Laplace-Beltrami eigenpairs of an (n, 3) point cloud.
@@ -68,6 +70,12 @@ def spectral_basis(
     steady-state block speed but pays a heavy first-call Mosaic compile
     at the 1M shape — prefer 'split' for ONE-SHOT 1M solves, 'bsr' when
     several solves amortize the compile or at <=300k.
+
+    `n_devices`/`mesh`: run the blocked solve node-sharded over a
+    `jax.sharding.Mesh` (solvers/lobpcg_sharded.py — halo-banded /
+    cluster-split sharded SpMM, psum'd Grams). `operator_format` is
+    ignored on this path (the sharded builder picks banded vs split
+    from the operator's stencil).
     """
     import jax
     import jax.numpy as jnp
@@ -108,6 +116,25 @@ def spectral_basis(
         _, X0_full = eigsh_smallest(L, sp.diags(m_diag).tocsr(), k)
         X0_full = X0_full.astype(np.float32)
     timings["warm_start_s"] = time.time() - t0
+
+    if n_devices is not None or mesh is not None:
+        # Distributed path: the same blocked deflated sweeps over the
+        # node-sharded halo SpMM.
+        import scipy.sparse as sp
+
+        from eigenpinns_tpu.solvers.lobpcg_sharded import lobpcg_sharded
+
+        t0 = time.time()
+        vals, vecs, resids = lobpcg_sharded(
+            L, sp.diags(m_diag).tocsr(), k, mesh=mesh,
+            n_devices=n_devices, X=np.asarray(X), X0=X0_full,
+            block=block, guard=guard, max_iter=max_iter, tol=tol,
+            window=window,
+            log_fn=(None if log_fn is None else
+                    lambda b0, keep, r: log_fn(
+                        f"  modes [{b0}:{b0 + keep}] converged")))
+        timings["solve_s"] = time.time() - t0
+        return SpectralBasisResult(vals, vecs, resids, timings)
 
     t0 = time.time()
     if operator_format == "bsr":

@@ -271,3 +271,25 @@ def test_lobpcg_sharded_matches_eigsh(rng):
     assert rel_b.max() < 1e-3, (vals_b, vals_ref)
     G = vecs_b.T @ (M @ vecs_b)
     assert np.abs(G - np.eye(8)).max() < 1e-3
+
+
+def test_spectral_basis_sharded(rng):
+    """spectral_basis(n_devices=8): the large-scale driver end-to-end on
+    the mesh — warm start, sharded blocked LOBPCG, caller vertex order."""
+    from eigenpinns_tpu.geometry import point_cloud_laplacian
+    from eigenpinns_tpu.solvers import eigsh_smallest, spectral_basis
+
+    X = rng.normal(size=(1500, 3))
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    L, M = point_cloud_laplacian(X, n_neighbors=14)
+    vals_ref, _ = eigsh_smallest(L, M, 6)
+
+    res = spectral_basis(X, k=6, n_neighbors=14, coarse_n=400,
+                         n_devices=8, block=3, guard=2, max_iter=300,
+                         tol=1e-6, log_fn=None)
+    rel = np.abs(res.eigenvalues[1:] - vals_ref[1:]) / np.abs(vals_ref[1:])
+    assert rel.max() < 1e-3, (res.eigenvalues, vals_ref)
+    U = res.eigenvectors
+    num = np.sum(U * (L @ U), axis=0)
+    den = np.sum(U * (M @ U), axis=0)
+    assert np.allclose(num / den, res.eigenvalues, rtol=1e-3, atol=1e-4)
