@@ -27,7 +27,7 @@ from eigenpinns_tpu.solvers.schrodinger_driver import (
 )
 from eigenpinns_tpu.solvers.upscale import hierarchical_eigensolve, UpscaleResult
 from eigenpinns_tpu.solvers.spectral_basis import (
-    spectral_basis, SpectralBasisResult)
+    spectral_basis, spectral_basis_family, SpectralBasisResult)
 from eigenpinns_tpu.solvers.lobpcg_sharded import lobpcg_sharded
 from eigenpinns_tpu.solvers.transfer import train_per_level, TransferResult
 from eigenpinns_tpu.solvers.eikonal_driver import solve_eikonal, EikonalResult
@@ -53,7 +53,8 @@ __all__ = [
     "train_joint_sharded", "prepare_sharded_problem", "ShardedDirectResult",
     "solve_schrodinger", "SchrodingerResult", "SchrodingerMode",
     "hierarchical_eigensolve", "UpscaleResult", "train_per_level",
-    "spectral_basis", "SpectralBasisResult", "lobpcg_sharded",
+    "spectral_basis", "spectral_basis_family", "SpectralBasisResult",
+    "lobpcg_sharded",
     "TransferResult", "solve_eikonal", "EikonalResult",
     "solve_laplace_dirichlet", "solve_laplace_dirichlet_device",
     "train_joint_family", "BatchedResult",

@@ -164,3 +164,97 @@ def spectral_basis(
     inv = np.empty_like(perm)
     inv[perm] = np.arange(n)
     return SpectralBasisResult(vals, vecs[inv], resids, timings)
+
+
+def spectral_basis_family(
+    X_list,
+    k: int = 50,
+    n_neighbors: int = 15,
+    coarse_n: int = 65536,
+    prolongation_neighbors: int = 8,
+    block: int = 16,
+    guard: int = 4,
+    max_iter: int = 120,
+    tol: float = 2e-4,
+    log_fn=print,
+) -> list:
+    """`spectral_basis` over a FAMILY of point clouds with ONE compiled
+    solver executable (BASELINE config 5's "batched over a mesh family"
+    at spectral-basis scale).
+
+    vmap-batching (solvers/batched.py) tops out where a single member's
+    operator already fills the chip; here the batching is COMPILE-level
+    instead: every member's strip-BSR operator is padded to the family's
+    common (rows, strip width) shape, so the jitted LOBPCG program —
+    traced once for the first member — is reused verbatim for the rest
+    (zero rows/width are inert in the Gram arithmetic). Returns a list
+    of SpectralBasisResult in input order.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from eigenpinns_tpu.geometry import point_cloud_laplacian
+    from eigenpinns_tpu.sampling.knn import prolongation_matrix
+    from eigenpinns_tpu.sampling.samplers import voxel_levels
+    from eigenpinns_tpu.solvers.lobpcg import lobpcg_blocked
+    from eigenpinns_tpu.solvers.oracle import eigsh_smallest
+    from eigenpinns_tpu.sparse import Diagonal
+    from eigenpinns_tpu.sparse.bsr import BSRTile, _round_up
+
+    # Pass 1 (host): Laplacians + the family's common padded shape.
+    probs = []
+    for X in X_list:
+        L, M = point_cloud_laplacian(np.asarray(X),
+                                     n_neighbors=n_neighbors)
+        probs.append((np.asarray(X), L,
+                      np.asarray(M.diagonal()).ravel()))
+    n_pad = _round_up(max(L.shape[0] for _, L, _ in probs), 128)
+    # Probe each member's natural strip width at the common row count.
+    width = 0
+    ops = []
+    for X, L, m_diag in probs:
+        op, perm = BSRTile.from_scipy(L, pad_rows_to=n_pad)
+        width = max(width, op.strip_w)
+        ops.append((op, perm))
+    # Rebuild any member below the common width (cheap, host-side).
+    ops = [(op, perm) if op.strip_w == width else
+           BSRTile.from_scipy(L, pad_rows_to=n_pad, pad_width_to=width)
+           for (op, perm), (_, L, _) in zip(ops, probs)]
+
+    results = []
+    for (op, perm), (X, L, m_diag) in zip(ops, probs):
+        n = X.shape[0]
+        timings = {}
+        t0 = time.time()
+        coarse = min(coarse_n, n)
+        if coarse < n:
+            idx = voxel_levels(X, [coarse])[0]
+            Lc, Mc = point_cloud_laplacian(X[idx],
+                                           n_neighbors=n_neighbors)
+            _, vecs_c = eigsh_smallest(Lc, Mc, k)
+            P = prolongation_matrix(X[idx], X, prolongation_neighbors)
+            X0 = (P @ vecs_c).astype(np.float32)
+        else:
+            import scipy.sparse as sp
+
+            _, X0 = eigsh_smallest(L, sp.diags(m_diag).tocsr(), k)
+            X0 = X0.astype(np.float32)
+        timings["warm_start_s"] = time.time() - t0
+
+        d = np.zeros(n_pad, np.float32)
+        d[:n] = m_diag[perm]
+        M_op = Diagonal(jnp.asarray(d))
+        X0p = np.zeros((n_pad, k), np.float32)
+        X0p[:n] = X0[perm]          # op row order; padded rows stay zero
+        t0 = time.time()
+        vals, vecs, resids = lobpcg_blocked(
+            op, M_op, k, block=block, guard=guard, max_iter=max_iter,
+            tol=tol, X0_full=jnp.asarray(X0p),
+            log_fn=None if log_fn is None else
+            (lambda b0, keep, r: log_fn(f"  [{n}v] modes [{b0}:{b0+keep}]")))
+        timings["solve_s"] = time.time() - t0
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(n)
+        results.append(SpectralBasisResult(vals, vecs[:n][inv], resids,
+                                           timings))
+    return results

@@ -50,34 +50,19 @@ import numpy as np
 from eigenpinns_tpu.sparse.banded import _round_up
 
 
-class _Static:
-    """Hashable wrapper for layout index arrays living in treedef aux
-    (jit caches compare treedefs with ==/hash; raw ndarrays break both)."""
-
-    __slots__ = ("a", "_h")
-
-    def __init__(self, a):
-        self.a = np.ascontiguousarray(a)
-        self.a.setflags(write=False)
-        self._h = hash((self.a.shape, self.a.dtype.str, self.a.tobytes()))
-
-    def __hash__(self):
-        return self._h
-
-    def __eq__(self, other):
-        return (isinstance(other, _Static) and self._h == other._h
-                and np.array_equal(self.a, other.a))
-
-
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
 class BSRTile:
     """Strip-compact tile-sparse matrix (tile = 128).
 
     data: (n_rt*T, W*T) float — see module docstring
-    cid:  (n_rt, W) int32 — strip slot -> column tile id (np, static)
-    nw:   (n_rt,) int32 — real (unpadded) slots per row tile (np, static)
-    diag: (n,) float (np, static) — host copy of the diagonal
+    cid:  (n_rt, W) int32 — strip slot -> column tile id
+    nw:   (n_rt,) int32 — real (unpadded) slots per row tile
+    diag: (n,) float — the operator diagonal (solver preconditioners)
+
+    All four are pytree CHILDREN (runtime operands), so jit executables
+    depend only on shapes — a family of same-padded operators shares
+    one compiled program per solver.
     """
 
     data: Any
@@ -92,17 +77,22 @@ class BSRTile:
 
     def tree_flatten(self):
         has_t = self.transpose_bsr is not None
-        children = (self.data,) + ((self.transpose_bsr,) if has_t else ())
-        return children, (_Static(self.cid), _Static(self.nw),
-                          _Static(self.diag), self.n, self.n_cols,
-                          self.tile, has_t, self.mxu_precision)
+        # cid/nw/diag are CHILDREN (runtime operands: cid feeds the
+        # kernel's scalar prefetch, diag the solvers' preconditioners) —
+        # two same-shape operators therefore share one jit executable,
+        # which is what lets a padded mesh FAMILY reuse a single
+        # compiled solver program.
+        children = (self.data, self.cid, self.nw, self.diag) + (
+            (self.transpose_bsr,) if has_t else ())
+        return children, (self.n, self.n_cols, self.tile, has_t,
+                          self.mxu_precision)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        cid, nw, diag, n, n_cols, tile, has_t, prec = aux
-        t = children[1] if has_t else None
-        return cls(children[0], cid.a, nw.a, diag.a, n, n_cols, tile,
-                   t, prec)
+        n, n_cols, tile, has_t, prec = aux
+        t = children[4] if has_t else None
+        return cls(children[0], children[1], children[2], children[3],
+                   n, n_cols, tile, t, prec)
 
     def with_precision(self, precision: str) -> "BSRTile":
         """'highest'/'high' share the f32 strips; 'bf16' materializes a
@@ -145,9 +135,16 @@ class BSRTile:
 
     @classmethod
     def from_scipy(cls, A, dtype=jnp.float32, tile: int = 128,
-                   reorder: bool = True, with_transpose: bool = True):
+                   reorder: bool = True, with_transpose: bool = True,
+                   pad_rows_to: int | None = None,
+                   pad_width_to: int | None = None):
         """Convert scipy sparse; returns (op, perm) like the other
-        formats. No bandwidth cap — any sparsity pattern tiles."""
+        formats. No bandwidth cap — any sparsity pattern tiles.
+
+        `pad_rows_to` / `pad_width_to` force the row count and strip
+        width (in tiles) up to common values — mesh FAMILIES padded to
+        one shape share a single compiled executable for every solver
+        program (jit caches on shapes)."""
         A = A.tocsr()
         A.sum_duplicates()
         n, n_cols = A.shape
@@ -159,6 +156,19 @@ class BSRTile:
         else:
             perm = np.arange(n)
             Ap = A
+
+        if pad_rows_to is not None and pad_rows_to > n:
+            # Append empty rows/cols (zero K and M rows are inert in the
+            # solvers' Gram arithmetic; see lobpcg_sharded's analysis).
+            import scipy.sparse as sp
+
+            extra = pad_rows_to - n
+            Ap = sp.csr_matrix(
+                (Ap.data, Ap.indices,
+                 np.concatenate([Ap.indptr,
+                                 np.full(extra, Ap.indptr[-1])])),
+                shape=(pad_rows_to, pad_rows_to))
+            n = n_cols = pad_rows_to
 
         coo = Ap.tocoo()
         T = tile
@@ -174,6 +184,8 @@ class BSRTile:
         t_ct = (tile_key % n_ct).astype(np.int64)
         nw = np.bincount(t_rt, minlength=n_rt).astype(np.int32)
         W = max(int(nw.max()), 1)
+        if pad_width_to is not None:
+            W = max(W, int(pad_width_to))
         # strip slot of each nonempty tile (0..nw-1 within its row tile)
         slot_in_row = np.arange(tile_key.shape[0]) - np.concatenate(
             ([0], np.cumsum(nw)))[t_rt]
@@ -203,7 +215,7 @@ class BSRTile:
             if d.nnz and abs(d).max() > 1e-12 * max(abs(Ap).max(), 1e-300):
                 transpose = cls.from_scipy(
                     Ap.T.tocsr(), dtype=dtype, tile=tile, reorder=False,
-                    with_transpose=False)[0]
+                    with_transpose=False, pad_width_to=pad_width_to)[0]
 
         op = cls(jnp.asarray(data), cid, nw, diag, n, n_cols, T,
                  transpose)
@@ -322,9 +334,16 @@ def _impl(A: BSRTile, U: jax.Array) -> jax.Array:
 
 
 def _zero_like_bsr(A: BSRTile):
+    """Zero cotangent with the custom-vjp convention: float0 for the
+    integer layout tables, zeros for the float leaves."""
     t = None if A.transpose_bsr is None else _zero_like_bsr(A.transpose_bsr)
-    return dataclasses.replace(A, data=jnp.zeros_like(A.data),
-                               transpose_bsr=t)
+    f0 = jax.dtypes.float0
+    return dataclasses.replace(
+        A, data=jnp.zeros_like(A.data),
+        cid=np.zeros(np.shape(A.cid), f0),
+        nw=np.zeros(np.shape(A.nw), f0),
+        diag=np.zeros(np.shape(A.diag), f0),
+        transpose_bsr=t)
 
 
 @jax.custom_vjp

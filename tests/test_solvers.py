@@ -234,3 +234,40 @@ def test_spectral_basis_driver(rng):
     num = np.sum(U * (L @ U), axis=0)
     den = np.sum(U * (M @ U), axis=0)
     assert np.allclose(num / den, res.eigenvalues, rtol=1e-3, atol=1e-4)
+
+
+def test_spectral_basis_family_shares_executable(rng):
+    """Family members padded to one common BSR shape reuse a SINGLE
+    compiled LOBPCG executable (config 5 "batched over a mesh family" at
+    spectral-basis scale) and each matches its own eigsh oracle."""
+    import jax
+
+    from eigenpinns_tpu.geometry import point_cloud_laplacian
+    from eigenpinns_tpu.solvers import spectral_basis_family
+    from eigenpinns_tpu.solvers.lobpcg import lobpcg
+    from eigenpinns_tpu.solvers.oracle import eigsh_smallest
+
+    X_list = []
+    for f in range(3):
+        r2 = np.random.default_rng(30 + f)
+        X = r2.normal(size=(900 + 150 * f, 3))
+        X /= np.linalg.norm(X, axis=1, keepdims=True)
+        X_list.append(X * (1.0 + 0.2 * f))
+
+    jax.clear_caches()
+    results = spectral_basis_family(X_list, k=6, n_neighbors=14,
+                                    coarse_n=400, block=3, guard=2,
+                                    max_iter=300, tol=1e-6, log_fn=None)
+    assert lobpcg._cache_size() == 1, lobpcg._cache_size()
+
+    for X, res in zip(X_list, results):
+        L, M = point_cloud_laplacian(X, n_neighbors=14)
+        vals_ref, _ = eigsh_smallest(L, M, 6)
+        rel = (np.abs(res.eigenvalues[1:] - vals_ref[1:])
+               / np.abs(vals_ref[1:]))
+        assert rel.max() < 1e-3, (res.eigenvalues, vals_ref)
+        U = res.eigenvectors
+        num = np.sum(U * (L @ U), axis=0)
+        den = np.sum(U * (M @ U), axis=0)
+        assert np.allclose(num / den, res.eigenvalues, rtol=1e-3,
+                           atol=1e-4)
