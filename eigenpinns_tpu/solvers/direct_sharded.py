@@ -155,6 +155,7 @@ def train_joint_sharded(
     seed: int = 0,
     rayleigh_ritz_finish: bool = True,
     problem: ShardedProblem | None = None,
+    checkpoint_dir: str = "",
     log_fn=None,
     log_every: int = 0,
 ) -> ShardedDirectResult:
@@ -219,9 +220,30 @@ def train_joint_sharded(
         params = optax.apply_updates(state.params, updates)
         return _State(params, opt_state), metrics
 
+    # Checkpoint/resume: params + opt state (replicated pytrees — the
+    # checkpoint is mesh-shape-independent); schedules continue from the
+    # restored epoch (same contract as MultigridTrainer).
+    ckptr = None
+    epoch0 = 0
+    if checkpoint_dir:
+        from eigenpinns_tpu.train.checkpoint import TrainCheckpointer
+
+        ckptr = TrainCheckpointer(checkpoint_dir)
+        prev_step, restored = ckptr.restore_latest(
+            target={"params": params, "opt_state": opt_state})
+        if restored is not None:
+            params = jax.device_put(restored["params"], repl)
+            opt_state = jax.device_put(restored["opt_state"], repl)
+            epoch0 = int(prev_step)
+
     result = run_scan_loop(step, _State(params, opt_state),
                            n_epochs=epochs, chunk=scan_chunk,
-                           log_every=log_every, log_fn=log_fn, data=data)
+                           log_every=log_every, log_fn=log_fn, data=data,
+                           start_epoch=epoch0)
+    if ckptr is not None:
+        ckptr.save(epoch0 + result.epochs_run,
+                   {"params": result.state.params,
+                    "opt_state": result.state.opt_state})
 
     # Finish: Rayleigh-Ritz in the learned subspace, all reductions
     # sharded, only the k x k solve dense.

@@ -293,3 +293,25 @@ def test_spectral_basis_sharded(rng):
     num = np.sum(U * (L @ U), axis=0)
     den = np.sum(U * (M @ U), axis=0)
     assert np.allclose(num / den, res.eigenvalues, rtol=1e-3, atol=1e-4)
+
+
+def test_train_joint_sharded_checkpoint_resume(rng, tmp_path):
+    """Sharded trainer checkpoints (replicated pytrees, mesh-shape
+    independent) and resumes with the epoch offset intact."""
+    from eigenpinns_tpu.geometry import point_cloud_laplacian
+    from eigenpinns_tpu.solvers import train_joint_sharded
+
+    X = rng.normal(size=(600, 3))
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    L, M = point_cloud_laplacian(X, n_neighbors=12)
+    kw = dict(n_modes=3, hidden=(16, 16), scan_chunk=20, lr_start=2e-3,
+              lr_end=1e-3, w_res=1.0, w_orth=10.0, seed=0,
+              checkpoint_dir=str(tmp_path / "ck"))
+    r1 = train_joint_sharded(L, M, X, n_devices=8, epochs=40, **kw)
+    # Resume: 40 more epochs continue from step 40.
+    r2 = train_joint_sharded(L, M, X, n_devices=8, epochs=40, **kw)
+    assert r2.history["loss"][0] < r1.history["loss"][0] * 1.5
+    import os
+
+    steps = sorted(os.listdir(tmp_path / "ck"))
+    assert "step_40" in steps and "step_80" in steps, steps
