@@ -80,6 +80,7 @@ def spectral_basis(
     import jax
     import jax.numpy as jnp
 
+    import eigenpinns_tpu
     from eigenpinns_tpu.geometry import point_cloud_laplacian
     from eigenpinns_tpu.sampling.knn import prolongation_matrix
     from eigenpinns_tpu.sampling.samplers import voxel_levels
@@ -87,6 +88,7 @@ def spectral_basis(
     from eigenpinns_tpu.solvers.oracle import eigsh_smallest
     from eigenpinns_tpu.sparse import Diagonal, SplitBanded
 
+    eigenpinns_tpu.warmup_transfer_async()  # + persistent compile cache
     timings = {}
     n = X.shape[0]
 
@@ -193,6 +195,7 @@ def spectral_basis_family(
     import jax
     import jax.numpy as jnp
 
+    import eigenpinns_tpu
     from eigenpinns_tpu.geometry import point_cloud_laplacian
     from eigenpinns_tpu.sampling.knn import prolongation_matrix
     from eigenpinns_tpu.sampling.samplers import voxel_levels
@@ -200,6 +203,8 @@ def spectral_basis_family(
     from eigenpinns_tpu.solvers.oracle import eigsh_smallest
     from eigenpinns_tpu.sparse import Diagonal
     from eigenpinns_tpu.sparse.bsr import BSRTile, _round_up
+
+    eigenpinns_tpu.warmup_transfer_async()  # + persistent compile cache
 
     # Pass 1 (host): Laplacians + the family's common padded shape.
     probs = []
