@@ -62,14 +62,16 @@ def spectral_basis(
     `operators`: optional pre-built (L_csr, m_diag) pair to skip the
     Laplacian build (e.g. when cached on disk).
 
-    `operator_format`: 'bsr' (strip-BSR, default — cheapest build
-    [~20 s vs ~440 s host-side at 1M] and fastest SpMM at <=300k) or
-    'split' (cluster-ordered banded core + gather remainder; `window`
-    applies to this format only). Measured at 1M x k=50 on one v5e:
-    'split' solved end-to-end in 193 s; 'bsr' matches its accuracy and
-    steady-state block speed but pays a heavy first-call Mosaic compile
-    at the 1M shape — prefer 'split' for ONE-SHOT 1M solves, 'bsr' when
-    several solves amortize the compile or at <=300k.
+    `operator_format`: 'bsr' (strip-BSR, default) or 'split'
+    (cluster-ordered banded core + gather remainder; `window` applies to
+    this format only). Measured at 1M x k=50 on one v5e, same accuracy
+    (3.1e-4 max rel err vs host eigsh, which itself takes 371 s):
+    'bsr' solves in **104.5 s** once its kernels are compile-cached
+    (first-ever run at a given shape pays a heavy Mosaic compile —
+    cached persistently across processes via the compile cache that
+    warmup enables) and its host-side build is ~20 s vs ~440 s for
+    'split's cluster ordering; 'split' solves in 193 s with no big
+    compile and lower HBM (relevant only if ~9 GB residency is tight).
 
     `n_devices`/`mesh`: run the blocked solve node-sharded over a
     `jax.sharding.Mesh` (solvers/lobpcg_sharded.py — halo-banded /
