@@ -39,9 +39,10 @@ BASELINE_STEPS_PER_SEC = 2000.0 / 85.0  # reference: 2000 epochs / ~85 s
 # denominator.
 PEAK_FLOPS = (
     ("v6", 918e12),
-    ("v5p", 459e12),
-    ("v5 lite", 197e12),
+    ("v5 lite", 197e12),   # v5e reports 'TPU v5 lite' — match before bare v5
     ("v5e", 197e12),
+    ("v5p", 459e12),
+    ("v5", 459e12),        # bare 'TPU v5' device_kind = v5p
     ("v4", 275e12),
 )
 DEFAULT_PEAK = 197e12
@@ -140,7 +141,6 @@ def bench_large_n(n: int = 300_000, k: int = 20) -> dict:
     log(f"[{n//1000}k] laplacian in {time.time()-t0:.1f}s, nnz={L.nnz}")
     t0 = time.time()
     K_op, perm = BSRTile.from_scipy(L)
-    M_op = Diagonal(jnp.asarray(M.diagonal()[perm], jnp.float32))
     log(f"[{n//1000}k] strip-BSR W={K_op.strip_w} "
         f"({K_op.data.nbytes/1e9:.2f} GB) in {time.time()-t0:.1f}s")
 

@@ -18,7 +18,7 @@ _LIB = None
 _LIB_TRIED = False
 
 
-def _try_build(path: str) -> None:
+def _try_build() -> None:
     """One-shot automatic build: the .so is a build artifact that does
     not survive fresh checkouts, and a silent fallback to the Python
     paths costs minutes at 300k-1M nodes. Opt out with
@@ -46,7 +46,7 @@ def load_native():
     _LIB_TRIED = True
     path = os.path.join(os.path.dirname(__file__), "_native.so")
     if not os.path.exists(path):
-        _try_build(path)
+        _try_build()
     if not os.path.exists(path):
         return None
     try:

@@ -278,7 +278,17 @@ def build_hierarchy(
                         Kp, dtype=dtype, reorder=False,
                         max_bandwidth=max_bandwidth)[0]
                 except ValueError:
-                    op = None      # bandwidth blew up -> BSR below
+                    # Bandwidth blew past max_bandwidth -> strip-BSR
+                    # below (no cap). Not silent: the formats have
+                    # different HBM profiles.
+                    import warnings
+
+                    warnings.warn(
+                        f"level {i}: RCM bandwidth exceeds "
+                        f"max_bandwidth={max_bandwidth}; using the "
+                        "strip-BSR format instead of the rolling band",
+                        stacklevel=2)
+                    op = None
             if op is None:
                 op = BSRTile.from_scipy(Kp, dtype=dtype, reorder=False)[0]
             banded_ops.append(op)

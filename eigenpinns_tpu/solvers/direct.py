@@ -25,10 +25,8 @@ import optax
 
 from eigenpinns_tpu.losses import (
     diversity,
-    gram_orthogonality,
     newton_schulz_orthonormalize,
     ordering,
-    rayleigh_and_residual,
     rayleigh_residual_orth,
     trace_loss,
     zero_lambda,

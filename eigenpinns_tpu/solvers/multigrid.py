@@ -30,10 +30,8 @@ import numpy as np
 
 from eigenpinns_tpu.losses import (
     eigenvalue_target,
-    gram_orthogonality,
     ordering,
     projection,
-    rayleigh_and_residual,
     rayleigh_residual_orth,
     trace_loss,
     zero_mean,
@@ -298,15 +296,20 @@ class MultigridTrainer:
         if eval_callback is not None:
             off_f, n_f = offsets[-1], sizes[-1]
 
+            # Everything large travels as jit ARGUMENTS (same rule as the
+            # scan loop's `data`): closure capture would bake feats/U_base
+            # and the finest M into a second multi-GB executable at 300k+.
             @jax.jit
-            def _predict_finest(params):
-                corr = model.apply(params, feats, graph)
-                U_f = (U_base + cfg.corrector_scale * corr)[
+            def _predict_finest(params, data, M_f):
+                corr = model.apply(params, data["feats"], data["graph"])
+                U_f = (data["U_base"] + cfg.corrector_scale * corr)[
                     off_f:off_f + n_f]
-                return m_normalize_columns(U_f, h.M_ops[-1])
+                return m_normalize_columns(U_f, M_f)
 
             def chunk_cb(epochs_run, state):
-                eval_callback(epochs_run, _predict_finest(state.params))
+                eval_callback(epochs_run,
+                              _predict_finest(state.params, data,
+                                              h.M_ops[-1]))
 
         with prof:
             result: LoopResult = run_scan_loop(

@@ -223,9 +223,11 @@ def spectral_basis_family(
         op, perm = BSRTile.from_scipy(L, pad_rows_to=n_pad)
         width = max(width, op.strip_w)
         ops.append((op, perm))
-    # Rebuild any member below the common width (cheap, host-side).
+    # Rebuild any member below the common width (host-side; the RCM
+    # ordering is reused, only the strips are re-binned wider).
     ops = [(op, perm) if op.strip_w == width else
-           BSRTile.from_scipy(L, pad_rows_to=n_pad, pad_width_to=width)
+           BSRTile.from_scipy(L, pad_rows_to=n_pad, pad_width_to=width,
+                              perm=perm)
            for (op, perm), (_, L, _) in zip(ops, probs)]
 
     results = []

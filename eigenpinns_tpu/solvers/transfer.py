@@ -26,9 +26,7 @@ import numpy as np
 import optax
 
 from eigenpinns_tpu.losses import (
-    gram_orthogonality,
     projection,
-    rayleigh_and_residual,
     rayleigh_residual_orth,
 )
 from eigenpinns_tpu.models import SimpleCorrector

@@ -137,18 +137,23 @@ class BSRTile:
     def from_scipy(cls, A, dtype=jnp.float32, tile: int = 128,
                    reorder: bool = True, with_transpose: bool = True,
                    pad_rows_to: int | None = None,
-                   pad_width_to: int | None = None):
+                   pad_width_to: int | None = None,
+                   perm: np.ndarray | None = None):
         """Convert scipy sparse; returns (op, perm) like the other
         formats. No bandwidth cap — any sparsity pattern tiles.
 
         `pad_rows_to` / `pad_width_to` force the row count and strip
         width (in tiles) up to common values — mesh FAMILIES padded to
         one shape share a single compiled executable for every solver
-        program (jit caches on shapes)."""
+        program (jit caches on shapes). `perm` supplies a precomputed
+        ordering (skips the RCM pass on rebuilds)."""
         A = A.tocsr()
         A.sum_duplicates()
         n, n_cols = A.shape
-        if reorder:
+        if perm is not None:
+            perm = np.asarray(perm)
+            Ap = A[perm][:, perm].tocsr()
+        elif reorder:
             from scipy.sparse.csgraph import reverse_cuthill_mckee
 
             perm = np.asarray(reverse_cuthill_mckee(A, symmetric_mode=True))
