@@ -161,11 +161,16 @@ def bench_large_n(n: int = 300_000, k: int = 20) -> dict:
             return W / (1e-6 + jnp.max(jnp.abs(W))), G
         return jax.lax.scan(it, U, None, length=R)
 
+    # Readback baseline as a median: a single sample is hostage to relay
+    # jitter and skews the subtracted kernel time by multiple ms.
     tiny = jax.jit(lambda U: jnp.sum(U))
     float(tiny(U))
-    t0 = time.time()
-    float(tiny(U))
-    base = time.time() - t0
+    base_samples = []
+    for _ in range(7):
+        t0 = time.time()
+        float(tiny(U))
+        base_samples.append(time.time() - t0)
+    base = float(np.median(base_samples))
     c, _ = chained(K_op, U)
     float(jnp.sum(c))
     times = []
