@@ -50,6 +50,25 @@ import numpy as np
 from eigenpinns_tpu.sparse.banded import _round_up
 
 
+class _Static:
+    """Hashable wrapper for layout arrays living in treedef aux
+    (jit caches compare treedefs with ==/hash; raw ndarrays break both)."""
+
+    __slots__ = ("a", "_h")
+
+    def __init__(self, a):
+        self.a = np.ascontiguousarray(a)
+        self.a.setflags(write=False)
+        self._h = hash((self.a.shape, self.a.dtype.str, self.a.tobytes()))
+
+    def __hash__(self):
+        return self._h
+
+    def __eq__(self, other):
+        return (isinstance(other, _Static) and self._h == other._h
+                and np.array_equal(self.a, other.a))
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
 class BSRTile:
@@ -74,25 +93,38 @@ class BSRTile:
     tile: int = 128
     transpose_bsr: Any = None     # BSRTile | None (None = symmetric)
     mxu_precision: str = "highest"
+    # True (default): cid/nw ride the treedef as compile-time constants
+    # — Mosaic specializes the gather-DMA addressing (~4% faster,
+    # same-chip A/B at 300k x 128: 10.08 vs 10.46 ms). False: they are
+    # traced operands, so SAME-SHAPE operators share one compiled
+    # executable — what spectral_basis_family needs to amortize one
+    # compile across a padded mesh family.
+    static_layout: bool = True
 
     def tree_flatten(self):
         has_t = self.transpose_bsr is not None
-        # cid/nw/diag are CHILDREN (runtime operands: cid feeds the
-        # kernel's scalar prefetch, diag the solvers' preconditioners) —
-        # two same-shape operators therefore share one jit executable,
-        # which is what lets a padded mesh FAMILY reuse a single
-        # compiled solver program.
+        if self.static_layout:
+            children = (self.data, self.diag) + (
+                (self.transpose_bsr,) if has_t else ())
+            return children, (True, _Static(self.cid), _Static(self.nw),
+                              self.n, self.n_cols, self.tile, has_t,
+                              self.mxu_precision)
         children = (self.data, self.cid, self.nw, self.diag) + (
             (self.transpose_bsr,) if has_t else ())
-        return children, (self.n, self.n_cols, self.tile, has_t,
+        return children, (False, self.n, self.n_cols, self.tile, has_t,
                           self.mxu_precision)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        n, n_cols, tile, has_t, prec = aux
+        if aux[0]:
+            _, cid, nw, n, n_cols, tile, has_t, prec = aux
+            t = children[2] if has_t else None
+            return cls(children[0], cid.a, nw.a, children[1], n, n_cols,
+                       tile, t, prec, True)
+        _, n, n_cols, tile, has_t, prec = aux
         t = children[4] if has_t else None
         return cls(children[0], children[1], children[2], children[3],
-                   n, n_cols, tile, t, prec)
+                   n, n_cols, tile, t, prec, False)
 
     def with_precision(self, precision: str) -> "BSRTile":
         """'highest'/'high' share the f32 strips; 'bf16' materializes a
@@ -138,7 +170,8 @@ class BSRTile:
                    reorder: bool = True, with_transpose: bool = True,
                    pad_rows_to: int | None = None,
                    pad_width_to: int | None = None,
-                   perm: np.ndarray | None = None):
+                   perm: np.ndarray | None = None,
+                   static_layout: bool = True):
         """Convert scipy sparse; returns (op, perm) like the other
         formats. No bandwidth cap — any sparsity pattern tiles.
 
@@ -220,10 +253,11 @@ class BSRTile:
             if d.nnz and abs(d).max() > 1e-12 * max(abs(Ap).max(), 1e-300):
                 transpose = cls.from_scipy(
                     Ap.T.tocsr(), dtype=dtype, tile=tile, reorder=False,
-                    with_transpose=False, pad_width_to=pad_width_to)[0]
+                    with_transpose=False, pad_width_to=pad_width_to,
+                    static_layout=static_layout)[0]
 
         op = cls(jnp.asarray(data), cid, nw, diag, n, n_cols, T,
-                 transpose)
+                 transpose, "highest", static_layout)
         return op, perm
 
     def pad_u(self, U: jax.Array) -> jax.Array:
@@ -340,15 +374,17 @@ def _impl(A: BSRTile, U: jax.Array) -> jax.Array:
 
 def _zero_like_bsr(A: BSRTile):
     """Zero cotangent with the custom-vjp convention: float0 for the
-    integer layout tables, zeros for the float leaves."""
+    integer layout tables (traced children only), zeros for the float
+    leaves. Static-layout tables stay in the treedef untouched."""
     t = None if A.transpose_bsr is None else _zero_like_bsr(A.transpose_bsr)
-    f0 = jax.dtypes.float0
-    return dataclasses.replace(
-        A, data=jnp.zeros_like(A.data),
-        cid=np.zeros(np.shape(A.cid), f0),
-        nw=np.zeros(np.shape(A.nw), f0),
-        diag=np.zeros(np.shape(A.diag), f0),
-        transpose_bsr=t)
+    kw = dict(data=jnp.zeros_like(A.data),
+              diag=jnp.zeros_like(jnp.asarray(A.diag)),
+              transpose_bsr=t)
+    if not A.static_layout:
+        f0 = jax.dtypes.float0
+        kw.update(cid=np.zeros(np.shape(A.cid), f0),
+                  nw=np.zeros(np.shape(A.nw), f0))
+    return dataclasses.replace(A, **kw)
 
 
 @jax.custom_vjp
