@@ -521,3 +521,28 @@ def test_bf16_stored_operator_mode(rng):
         # within bf16 mantissa error.
         exact = Lp @ np.asarray(U, np.float64)
         assert np.abs(W - exact).max() / np.abs(exact).max() < 2e-2
+
+
+def test_function_operator_dispatch(rng):
+    """FunctionOperator routes any callable through spmm()/diagonal() —
+    the hook that lets sharded SpMM closures flow into solver code."""
+    import jax.numpy as jnp
+
+    from eigenpinns_tpu.sparse import spmm, spmv
+    from eigenpinns_tpu.sparse.ops import FunctionOperator
+
+    d = jnp.asarray(rng.uniform(1, 2, size=16).astype(np.float32))
+    op = FunctionOperator(lambda U: 3.0 * U, d)
+    U = jnp.asarray(rng.normal(size=(16, 4)).astype(np.float32))
+    assert np.allclose(np.asarray(spmm(op, U)), 3.0 * np.asarray(U))
+    assert np.allclose(np.asarray(spmv(op, U[:, 0])),
+                       3.0 * np.asarray(U[:, 0]))
+    assert np.allclose(np.asarray(op.diagonal()), np.asarray(d))
+    assert op.shape == (16, 16)
+    # Pytree round-trip: diag is the traced leaf, fn rides the treedef.
+    import jax
+
+    leaves, treedef = jax.tree_util.tree_flatten(op)
+    assert len(leaves) == 1
+    op2 = jax.tree_util.tree_unflatten(treedef, leaves)
+    assert np.allclose(np.asarray(spmm(op2, U)), 3.0 * np.asarray(U))
