@@ -22,7 +22,14 @@ def _try_build() -> None:
     """One-shot automatic build: the .so is a build artifact that does
     not survive fresh checkouts, and a silent fallback to the Python
     paths costs minutes at 300k-1M nodes. Opt out with
-    EIGENPINNS_NO_NATIVE_BUILD=1."""
+    EIGENPINNS_NO_NATIVE_BUILD=1.
+
+    The build targets a process-unique temp name and os.replace()s it
+    into place: concurrent interpreters (the examples-smoke subprocess
+    matrix on a fresh checkout) each produce a complete .so and the
+    rename is atomic, so no process can dlopen a half-written file.
+    A failed build warns with the compiler's stderr instead of silently
+    handing callers the multi-minute Python paths."""
     if os.environ.get("EIGENPINNS_NO_NATIVE_BUILD"):
         return
     csrc = os.path.join(os.path.dirname(os.path.dirname(
@@ -30,12 +37,31 @@ def _try_build() -> None:
     if not os.path.exists(os.path.join(csrc, "Makefile")):
         return
     import subprocess
+    import warnings
 
+    final = os.path.join(os.path.dirname(__file__), "_native.so")
+    tmp = f"{final}.build{os.getpid()}"
     try:
-        subprocess.run(["make", "-C", csrc], capture_output=True,
-                       timeout=120, check=False)
-    except Exception:
-        pass
+        proc = subprocess.run(["make", "-C", csrc, f"TARGET={tmp}"],
+                              capture_output=True, timeout=120,
+                              check=False, text=True)
+        if proc.returncode == 0 and os.path.exists(tmp):
+            os.replace(tmp, final)
+        else:
+            warnings.warn(
+                "native geometry kernel build failed (falling back to "
+                "the slow Python paths); make stderr:\n"
+                f"{proc.stderr.strip()[-2000:]}", stacklevel=2)
+    except Exception as e:  # pragma: no cover - timeout/missing make
+        warnings.warn(
+            f"native geometry kernel build errored ({type(e).__name__}: "
+            f"{e}); falling back to the slow Python paths", stacklevel=2)
+    finally:
+        if os.path.exists(tmp):
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
 
 
 def load_native():

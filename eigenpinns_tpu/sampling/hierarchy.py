@@ -145,14 +145,23 @@ class Hierarchy:
 
             k_saved = int(U_list[0].shape[1])
 
-            def _op(K):
+            def _op(K, _i=[0]):
+                level = _i[0]
+                _i[0] += 1
                 if k_saved <= 32:
                     try:
                         return RollingBanded.from_scipy(
                             K, dtype=dtype, reorder=False,
                             max_bandwidth=max_bandwidth)[0]
                     except ValueError:
-                        pass
+                        import warnings
+
+                        warnings.warn(
+                            f"load: level {level} RCM bandwidth exceeds "
+                            f"max_bandwidth={max_bandwidth}; using the "
+                            "strip-BSR format instead of the rolling "
+                            "band (different HBM/perf profile)",
+                            stacklevel=2)
                 return BSRTile.from_scipy(K, dtype=dtype,
                                           reorder=False)[0]
 
@@ -264,6 +273,18 @@ def build_hierarchy(
         from eigenpinns_tpu.sparse.rolling import RollingBanded
 
         prefer_rolling = n_modes <= 32
+        if operator_format == "banded" and not prefer_rolling:
+            # An EXPLICIT 'banded' request at wide k gets strip-BSR (the
+            # rolling band's U gather loses past k~32 — see the format
+            # note above). Not silent: callers pinning the band format
+            # get a different HBM/perf profile.
+            import warnings
+
+            warnings.warn(
+                f"operator_format='banded' with n_modes={n_modes} > 32: "
+                "building strip-BSR operators (the rolling band is only "
+                "used for k <= 32); pass operator_format='auto' to "
+                "acknowledge the per-k format choice", stacklevel=2)
         perms = []
         new_K, new_M, new_X, new_idx = [], [], [], []
         for i, (K, M) in enumerate(zip(K_sp, M_sp)):

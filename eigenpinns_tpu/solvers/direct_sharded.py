@@ -156,6 +156,7 @@ def train_joint_sharded(
     rayleigh_ritz_finish: bool = True,
     problem: ShardedProblem | None = None,
     checkpoint_dir: str = "",
+    checkpoint_every_chunks: int = 10,
     log_fn=None,
     log_every: int = 0,
 ) -> ShardedDirectResult:
@@ -236,10 +237,24 @@ def train_joint_sharded(
             opt_state = jax.device_put(restored["opt_state"], repl)
             epoch0 = int(prev_step)
 
+    # Periodic mid-run checkpoints (multi-hour 300k+ workloads must
+    # survive preemption, not just a clean finish): save every
+    # `checkpoint_every_chunks` scan chunks from the chunk callback.
+    chunk_cb = None
+    if ckptr is not None and checkpoint_every_chunks:
+        n_chunks_seen = [0]
+
+        def chunk_cb(epochs_run, state):
+            n_chunks_seen[0] += 1
+            if n_chunks_seen[0] % checkpoint_every_chunks == 0:
+                ckptr.save(epoch0 + epochs_run,
+                           {"params": state.params,
+                            "opt_state": state.opt_state})
+
     result = run_scan_loop(step, _State(params, opt_state),
                            n_epochs=epochs, chunk=scan_chunk,
                            log_every=log_every, log_fn=log_fn, data=data,
-                           start_epoch=epoch0)
+                           start_epoch=epoch0, chunk_callback=chunk_cb)
     if ckptr is not None:
         ckptr.save(epoch0 + result.epochs_run,
                    {"params": result.state.params,
