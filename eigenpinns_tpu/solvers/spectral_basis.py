@@ -216,22 +216,23 @@ def spectral_basis_family(
         probs.append((np.asarray(X), L,
                       np.asarray(M.diagonal()).ravel()))
     n_pad = _round_up(max(L.shape[0] for _, L, _ in probs), 128)
-    # Probe each member's natural strip width at the common row count.
+    # Probe each member's natural chunk count at the common row count.
     # static_layout=False: the layout tables become traced operands so
     # every same-shape member reuses ONE compiled executable (the whole
     # point of the family padding; costs ~4% kernel time vs the
     # compile-specialized static layout).
-    width = 0
+    n_chunks = 0
     ops = []
     for X, L, m_diag in probs:
         op, perm = BSRTile.from_scipy(L, pad_rows_to=n_pad,
                                       static_layout=False)
-        width = max(width, op.strip_w)
+        n_chunks = max(n_chunks, op.n_chunks)
         ops.append((op, perm))
-    # Rebuild any member below the common width (host-side; the RCM
-    # ordering is reused, only the strips are re-binned wider).
-    ops = [(op, perm) if op.strip_w == width else
-           BSRTile.from_scipy(L, pad_rows_to=n_pad, pad_width_to=width,
+    # Rebuild any member below the common chunk count (host-side; the
+    # RCM ordering is reused, only zero pad chunks are appended).
+    ops = [(op, perm) if op.n_chunks == n_chunks else
+           BSRTile.from_scipy(L, pad_rows_to=n_pad,
+                              pad_chunks_to=n_chunks,
                               perm=perm, static_layout=False)
            for (op, perm), (_, L, _) in zip(ops, probs)]
 

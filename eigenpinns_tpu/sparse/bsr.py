@@ -1,41 +1,42 @@
-"""Tile-compact (strip-BSR) MXU SpMM: matmul only the nonempty
+"""Chunk-compact (strip-BSR) MXU SpMM: matmul only the nonempty
 128x128 tiles.
 
 The banded formats (banded.py full-window, rolling.py ring-buffer) are
-COMPUTE-bound at scale, not bandwidth-bound: the rolling kernel at
-300k x k=128 runs 26 of the ~33 TFLOP/s f32-HIGHEST MXU ceiling, but
-2/3 of that arithmetic multiplies zeros — per 128-row tile only a mean
-of 10.2 (max 17) of the 30 band-covered 128-wide column tiles hold any
-nonzeros, and in-span gaps mean even variable-width windows waste 25%.
+COMPUTE-bound at scale, not bandwidth-bound: 2/3 of the band arithmetic
+multiplies zeros — per 128-row tile of the 300k cloud operator only a
+mean of 10.2 (max 17) of the ~30 band-covered 128-wide column tiles hold
+any nonzeros.
 
-This format stores, per 128-row tile, a COMPACT strip of its nonempty
-column tiles:
+Round-2 shipped a fixed-width strip: every row tile stored max-W slots,
+so both the strip read AND the per-tile U gather paid the MAX width
+(2.61 + 2.61 GB at 300k). This version stores the nonempty tiles
+RAGGED — padded only up to a multiple of `chunk` (C, default 4) per row
+tile — which cuts HBM traffic to the mean width (3.6 GB total at 300k,
+C=4) and the MXU work with it (115 vs 167 GFLOP):
 
-  * `data` is (n_rt*T, W*T): row tile t's strip data[t*T:(t+1)*T] has
-    its j-th nonempty column tile at columns [j*T, (j+1)*T); unused
-    strip slots are zero.
-  * `cid` (n_rt, W) int32 maps strip slot j -> column tile id (padded
-    slots repeat a valid id; their zero strip contributes nothing).
-  * the kernel runs one grid step per ROW tile: a burst of W
-    double-buffered gather DMAs assembles the strip-aligned U block
-    (W*T, k) in VMEM while the previous tile's SINGLE
-    (T, W*T) x (W*T, k) MXU matmul runs.
-
-MXU work drops ~2x vs the rolling band (only 1.67x strip padding vs
-3x band padding), HBM residency drops to nnz_tiles*64KB*pad (~2.6 GB
-vs 4.6 GB at 300k), host->device build+transfer drops 69s -> 2.5s at
-300k, and — because there is no bandwidth cap at all — a 1M-node
-operator runs in ONE kernel with no SplitBanded gather remainder
-(measured: the 0.8%-remainder split path costs 40 ms at 300k; see
-docs/PARITY.md for this kernel's numbers).
+  * `data` is (S*T, C*T): chunk s holds C horizontally-stacked 128x128
+    tiles of ONE row tile; a row tile with nw nonempty tiles owns
+    ceil(max(nw,1)/C) consecutive chunks (pad slots are zero tiles).
+  * `cid` (S, C) int32 maps chunk slot j -> column tile id (pad slots
+    repeat a valid id; their zero tiles contribute nothing).
+  * `rowid` (S,) int32, NONDECREASING: the row tile each chunk belongs
+    to. The kernel runs one grid step per CHUNK; the output BlockSpec
+    indexes by rowid[s] (scalar prefetch), so consecutive chunks of one
+    row tile ACCUMULATE into the same resident VMEM output block and
+    Pallas flushes it when rowid changes.
+  * per chunk: a burst of C double-buffered gather DMAs assembles the
+    (C*T, k) U block in VMEM while the previous chunk's single
+    (T, C*T) x (C*T, k) MXU matmul runs.
 
 Replaces the reference's torch.sparse COO SpMV hot op
 (src/multigrid_model.py:306-322) at any N; supersedes rolling.py as
-the preferred large-N operator format.
+the preferred large-N operator format for wide k (the rolling band's
+delta-only U traffic still wins for k <= 32 training).
 
 Same precision contract as rolling.py: 'highest' (f32, 6 bf16 MXU
 passes) or 'high' (explicit bf16x3 split product, ~1e-6 rel err) via
-with_precision(); Grams/Rayleigh quotients stay f32-HIGHEST.
+with_precision(); 'bf16' stores half-size strips (training-loss grade).
+Grams/Rayleigh quotients stay f32-HIGHEST.
 """
 
 from __future__ import annotations
@@ -72,20 +73,23 @@ class _Static:
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
 class BSRTile:
-    """Strip-compact tile-sparse matrix (tile = 128).
+    """Chunk-compact tile-sparse matrix (tile = 128).
 
-    data: (n_rt*T, W*T) float — see module docstring
-    cid:  (n_rt, W) int32 — strip slot -> column tile id
-    nw:   (n_rt,) int32 — real (unpadded) slots per row tile
-    diag: (n,) float — the operator diagonal (solver preconditioners)
+    data:  (S*T, C*T) float — see module docstring
+    cid:   (S, C) int32 — chunk slot -> column tile id
+    rowid: (S,) int32 nondecreasing — chunk -> row tile
+    nw:    (n_rt,) int32 — real (unpadded) nonempty tiles per row tile
+    diag:  (n,) float — the operator diagonal (solver preconditioners)
 
-    All four are pytree CHILDREN (runtime operands), so jit executables
-    depend only on shapes — a family of same-padded operators shares
-    one compiled program per solver.
+    data and diag are pytree CHILDREN (runtime operands); the integer
+    layout rides the treedef by default (static_layout) so Mosaic
+    specializes the gather-DMA addressing, or travels as traced operands
+    (static_layout=False) so same-shape operators share one executable.
     """
 
     data: Any
     cid: Any
+    rowid: Any
     nw: Any
     diag: Any
     n: int
@@ -93,12 +97,13 @@ class BSRTile:
     tile: int = 128
     transpose_bsr: Any = None     # BSRTile | None (None = symmetric)
     mxu_precision: str = "highest"
-    # True (default): cid/nw ride the treedef as compile-time constants
-    # — Mosaic specializes the gather-DMA addressing (~4% faster,
-    # same-chip A/B at 300k x 128: 10.08 vs 10.46 ms). False: they are
-    # traced operands, so SAME-SHAPE operators share one compiled
-    # executable — what spectral_basis_family needs to amortize one
-    # compile across a padded mesh family.
+    # True (default): cid/rowid/nw ride the treedef as compile-time
+    # constants — Mosaic specializes the gather-DMA addressing. False:
+    # they are traced operands, so SAME-SHAPE operators share one
+    # compiled executable — what spectral_basis_family needs to amortize
+    # one compile across a padded mesh family. (The output index map
+    # always reads rowid through scalar prefetch, so both modes support
+    # the accumulating kernel.)
     static_layout: bool = True
 
     def tree_flatten(self):
@@ -106,10 +111,10 @@ class BSRTile:
         if self.static_layout:
             children = (self.data, self.diag) + (
                 (self.transpose_bsr,) if has_t else ())
-            return children, (True, _Static(self.cid), _Static(self.nw),
-                              self.n, self.n_cols, self.tile, has_t,
-                              self.mxu_precision)
-        children = (self.data, self.cid, self.nw, self.diag) + (
+            return children, (True, _Static(self.cid), _Static(self.rowid),
+                              _Static(self.nw), self.n, self.n_cols,
+                              self.tile, has_t, self.mxu_precision)
+        children = (self.data, self.cid, self.rowid, self.nw, self.diag) + (
             (self.transpose_bsr,) if has_t else ())
         return children, (False, self.n, self.n_cols, self.tile, has_t,
                           self.mxu_precision)
@@ -117,14 +122,14 @@ class BSRTile:
     @classmethod
     def tree_unflatten(cls, aux, children):
         if aux[0]:
-            _, cid, nw, n, n_cols, tile, has_t, prec = aux
+            _, cid, rowid, nw, n, n_cols, tile, has_t, prec = aux
             t = children[2] if has_t else None
-            return cls(children[0], cid.a, nw.a, children[1], n, n_cols,
-                       tile, t, prec, True)
+            return cls(children[0], cid.a, rowid.a, nw.a, children[1],
+                       n, n_cols, tile, t, prec, True)
         _, n, n_cols, tile, has_t, prec = aux
-        t = children[4] if has_t else None
+        t = children[5] if has_t else None
         return cls(children[0], children[1], children[2], children[3],
-                   n, n_cols, tile, t, prec, False)
+                   children[4], n, n_cols, tile, t, prec, False)
 
     def with_precision(self, precision: str) -> "BSRTile":
         """'highest'/'high' share the f32 strips; 'bf16' materializes a
@@ -144,12 +149,22 @@ class BSRTile:
         return (self.n, self.n_cols)
 
     @property
-    def strip_w(self) -> int:
+    def chunk(self) -> int:
+        """Tiles per chunk (C)."""
         return self.cid.shape[1]
 
     @property
-    def n_row_tiles(self) -> int:
+    def n_chunks(self) -> int:
         return self.cid.shape[0]
+
+    @property
+    def strip_w(self) -> int:
+        """Max real nonempty tiles in any row tile (diagnostic)."""
+        return int(np.asarray(self.nw).max(initial=1))
+
+    @property
+    def n_row_tiles(self) -> int:
+        return self.nw.shape[0]
 
     @property
     def n_slots(self) -> int:
@@ -169,17 +184,19 @@ class BSRTile:
     def from_scipy(cls, A, dtype=jnp.float32, tile: int = 128,
                    reorder: bool = True, with_transpose: bool = True,
                    pad_rows_to: int | None = None,
-                   pad_width_to: int | None = None,
+                   pad_chunks_to: int | None = None,
                    perm: np.ndarray | None = None,
-                   static_layout: bool = True):
+                   static_layout: bool = True,
+                   chunk: int = 4):
         """Convert scipy sparse; returns (op, perm) like the other
         formats. No bandwidth cap — any sparsity pattern tiles.
 
-        `pad_rows_to` / `pad_width_to` force the row count and strip
-        width (in tiles) up to common values — mesh FAMILIES padded to
-        one shape share a single compiled executable for every solver
-        program (jit caches on shapes). `perm` supplies a precomputed
-        ordering (skips the RCM pass on rebuilds)."""
+        `pad_rows_to` / `pad_chunks_to` force the row count and total
+        chunk count up to common values — mesh FAMILIES padded to one
+        shape share a single compiled executable for every solver
+        program (jit caches on shapes); pad chunks are zero tiles
+        accumulated into the last row tile. `perm` supplies a
+        precomputed ordering (skips the RCM pass on rebuilds)."""
         A = A.tocsr()
         A.sum_duplicates()
         n, n_cols = A.shape
@@ -209,7 +226,7 @@ class BSRTile:
             n = n_cols = pad_rows_to
 
         coo = Ap.tocoo()
-        T = tile
+        T, C = tile, int(chunk)
         n_rt = -(-n // T)
         n_ct = -(-n_cols // T)
         rt = (coo.row // T).astype(np.int64)
@@ -221,28 +238,41 @@ class BSRTile:
         t_rt = (tile_key // n_ct).astype(np.int64)
         t_ct = (tile_key % n_ct).astype(np.int64)
         nw = np.bincount(t_rt, minlength=n_rt).astype(np.int32)
-        W = max(int(nw.max()), 1)
-        if pad_width_to is not None:
-            W = max(W, int(pad_width_to))
-        # strip slot of each nonempty tile (0..nw-1 within its row tile)
+        # Chunks per row tile: >= 1 so every output block is written.
+        cpr = np.maximum(-(-nw // C), 1)
+        S = int(cpr.sum())
+        if pad_chunks_to is not None:
+            if pad_chunks_to < S:
+                raise ValueError(
+                    f"pad_chunks_to={pad_chunks_to} < required {S}")
+            cpr[-1] += pad_chunks_to - S
+            S = int(pad_chunks_to)
+        chunk_start = np.concatenate(([0], np.cumsum(cpr)))  # (n_rt+1,)
+        rowid = np.repeat(np.arange(n_rt, dtype=np.int32), cpr)
+
+        # Slot of each nonempty tile inside its row tile (0..nw-1), then
+        # split into (chunk, within-chunk) coordinates.
         slot_in_row = np.arange(tile_key.shape[0]) - np.concatenate(
             ([0], np.cumsum(nw)))[t_rt]
+        t_chunk = chunk_start[t_rt] + slot_in_row // C
+        t_slot = slot_in_row % C
 
-        cid = np.zeros((n_rt, W), np.int32)
-        cid[t_rt, slot_in_row] = t_ct.astype(np.int32)
-        # padded slots repeat the row's last valid id (keeps gather DMAs
-        # in-bounds; strip zeros nullify the product)
-        for j in range(1, W):
-            pad = j >= nw
-            cid[pad, j] = cid[pad, np.maximum(nw[pad] - 1, 0)]
+        # Pad slots repeat a valid column id from the same row tile
+        # (keeps gather DMAs in-bounds; zero tiles nullify the product).
+        # Default cid 0 is fine for fully-empty padded row tiles.
+        cid = np.zeros((S, C), np.int32)
+        fallback = np.zeros(n_rt, np.int32)
+        fallback[t_rt] = t_ct.astype(np.int32)   # any valid id per row tile
+        cid[:] = fallback[rowid][:, None]
+        cid[t_chunk, t_slot] = t_ct.astype(np.int32)
 
-        data = np.zeros((n_rt * T, W * T),
+        data = np.zeros((S * T, C * T),
                         dtype=np.dtype(jnp.dtype(dtype).name))
         slot_of_entry = np.searchsorted(tile_key, key_s)
         lr = (coo.row[order] % T).astype(np.int64)
         lc = (coo.col[order] % T).astype(np.int64)
-        data[t_rt[slot_of_entry] * T + lr,
-             slot_in_row[slot_of_entry] * T + lc] = \
+        data[t_chunk[slot_of_entry] * T + lr,
+             t_slot[slot_of_entry] * T + lc] = \
             coo.data[order].astype(data.dtype)
 
         diag = np.asarray(Ap.diagonal()).astype(data.dtype)
@@ -253,10 +283,10 @@ class BSRTile:
             if d.nnz and abs(d).max() > 1e-12 * max(abs(Ap).max(), 1e-300):
                 transpose = cls.from_scipy(
                     Ap.T.tocsr(), dtype=dtype, tile=tile, reorder=False,
-                    with_transpose=False, pad_width_to=pad_width_to,
-                    static_layout=static_layout)[0]
+                    with_transpose=False, static_layout=static_layout,
+                    chunk=C)[0]
 
-        op = cls(jnp.asarray(data), cid, nw, diag, n, n_cols, T,
+        op = cls(jnp.asarray(data), cid, rowid, nw, diag, n, n_cols, T,
                  transpose, "highest", static_layout)
         return op, perm
 
@@ -266,69 +296,76 @@ class BSRTile:
 
 
 def bsr_spmm_reference(A: BSRTile, U: jax.Array) -> jax.Array:
-    """Pure-jnp oracle + CPU fallback: per-row-tile strip matmul against
-    a gathered strip-aligned U block (vmapped)."""
-    T, W = A.tile, A.strip_w
+    """Pure-jnp oracle + CPU fallback: per-chunk matmul against a
+    gathered U block, segment-summed by row tile."""
+    T, C = A.tile, A.chunk
+    S = A.n_chunks
     k = U.shape[1]
     Up = A.pad_u(U).reshape(-1, T, k)                    # (n_ct, T, k)
-    Ustrips = Up[jnp.asarray(A.cid)].reshape(A.n_row_tiles, W * T, k)
-    strips = A.data.reshape(A.n_row_tiles, T, W * T)
+    Ustrips = Up[jnp.asarray(A.cid)].reshape(S, C * T, k)
+    strips = A.data.reshape(S, T, C * T)
     prec = A._precision_enum
-    W_out = jax.vmap(
+    partial = jax.vmap(
         lambda s, u: jnp.dot(s, u, precision=prec,
                              preferred_element_type=jnp.float32))(
-        strips, Ustrips)
-    return W_out.reshape(-1, k)[: A.n].astype(U.dtype)
+        strips, Ustrips)                                 # (S, T, k)
+    out = jax.ops.segment_sum(partial, jnp.asarray(A.rowid),
+                              num_segments=A.n_row_tiles)
+    return out.reshape(-1, k)[: A.n].astype(U.dtype)
 
 
 def bsr_spmm_pallas(A: BSRTile, U: jax.Array,
                     interpret: bool = False) -> jax.Array:
-    """One grid step per row tile: burst-gather the strip-aligned U
-    block (double-buffered) + one (T, W*T) x (W*T, k) MXU matmul."""
+    """One grid step per chunk: burst-gather the chunk's U tiles
+    (double-buffered) + one (T, C*T) x (C*T, k) MXU matmul, accumulated
+    into the rowid-indexed output block (resident across the row tile's
+    consecutive chunks)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    T, W = A.tile, A.strip_w
+    T, C = A.tile, A.chunk
     k_orig = U.shape[1]
     k = _round_up(k_orig, 128)
     if k != k_orig:
         U = jnp.pad(U, ((0, 0), (0, k - k_orig)))
     Up = A.pad_u(U)
+    S = A.n_chunks
     n_rt = A.n_row_tiles
     # 1D: 2D SMEM scalar operands pad their minor dim to 128 and blow
-    # the 1MB SMEM budget at a few thousand row tiles.
-    cid = jnp.asarray(A.cid.reshape(-1), jnp.int32)
+    # the 1MB SMEM budget at a few thousand chunks.
+    cid = jnp.asarray(np.asarray(A.cid).reshape(-1), jnp.int32)
+    rowid = jnp.asarray(np.asarray(A.rowid), jnp.int32)
 
-    def kernel(cid_ref, strip_ref, u_ref, out_ref, ubuf, sem):
-        t = pl.program_id(0)
-        n_t = pl.num_programs(0)
+    def kernel(cid_ref, rowid_ref, strip_ref, u_ref, out_ref, ubuf, sem):
+        s = pl.program_id(0)
+        n_s = pl.num_programs(0)
 
-        def copies(slot, tt):
+        def copies(slot, ss):
             return [pltpu.make_async_copy(
-                u_ref.at[pl.ds(cid_ref[tt * W + j] * T, T), :],
+                u_ref.at[pl.ds(cid_ref[ss * C + j] * T, T), :],
                 ubuf.at[slot, pl.ds(j * T, T), :],
-                sem.at[slot, j]) for j in range(W)]
+                sem.at[slot, j]) for j in range(C)]
 
-        @pl.when(t == 0)
+        @pl.when(s == 0)
         def _():
             for c in copies(0, 0):
                 c.start()
 
-        @pl.when(t + 1 < n_t)
+        @pl.when(s + 1 < n_s)
         def _():
-            for c in copies((t + 1) % 2, t + 1):
+            for c in copies((s + 1) % 2, s + 1):
                 c.start()
 
-        for c in copies(t % 2, t):
+        for c in copies(s % 2, s):
             c.wait()
 
         if A.mxu_precision == "highest":
-            w = jnp.dot(strip_ref[:], ubuf[t % 2],
+            w = jnp.dot(strip_ref[:], ubuf[s % 2],
                         precision=jax.lax.Precision.HIGHEST,
                         preferred_element_type=jnp.float32)
         elif A.mxu_precision == "bf16":
             # bf16-stored strips: one MXU pass, half the strip bytes.
-            w = jnp.dot(strip_ref[:], ubuf[t % 2].astype(jnp.bfloat16),
+            w = jnp.dot(strip_ref[:], ubuf[s % 2].astype(jnp.bfloat16),
                         preferred_element_type=jnp.float32)
         else:
             # bf16x3 split product (Mosaic rejects Precision.HIGH inside
@@ -336,25 +373,37 @@ def bsr_spmm_pallas(A: BSRTile, U: jax.Array,
             a = strip_ref[:]
             ah = a.astype(jnp.bfloat16)
             al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
-            uv = ubuf[t % 2]
+            uv = ubuf[s % 2]
             uh = uv.astype(jnp.bfloat16)
             ul = (uv - uh.astype(jnp.float32)).astype(jnp.bfloat16)
             w = (jnp.dot(ah, uh, preferred_element_type=jnp.float32)
                  + jnp.dot(al, uh, preferred_element_type=jnp.float32)
                  + jnp.dot(ah, ul, preferred_element_type=jnp.float32))
-        out_ref[:] = w.astype(out_ref.dtype)
+        # First chunk of a row tile overwrites the (possibly stale)
+        # resident block; later chunks accumulate. rowid is
+        # nondecreasing, so the block index map revisits in order.
+        prev = rowid_ref[jnp.maximum(s - 1, 0)]
+        first = jnp.logical_or(s == 0, rowid_ref[s] != prev)
+
+        @pl.when(first)
+        def _():
+            out_ref[:] = w.astype(out_ref.dtype)
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            out_ref[:] = out_ref[:] + w.astype(out_ref.dtype)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n_rt,),
+        num_scalar_prefetch=2,
+        grid=(S,),
         in_specs=[
-            pl.BlockSpec((T, W * T), lambda t, cid: (t, 0)),
+            pl.BlockSpec((T, C * T), lambda s, cid, rowid: (s, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((T, k), lambda t, cid: (t, 0)),
+        out_specs=pl.BlockSpec((T, k), lambda s, cid, rowid: (rowid[s], 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, W * T, k), U.dtype),
-            pltpu.SemaphoreType.DMA((2, W)),
+            pltpu.VMEM((2, C * T, k), U.dtype),
+            pltpu.SemaphoreType.DMA((2, C)),
         ],
     )
     W_out = pl.pallas_call(
@@ -362,7 +411,7 @@ def bsr_spmm_pallas(A: BSRTile, U: jax.Array,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_rt * T, k), U.dtype),
         interpret=interpret,
-    )(cid, A.data, Up)
+    )(cid, rowid, A.data, Up)
     return W_out[: A.n, : k_orig]
 
 
@@ -383,6 +432,7 @@ def _zero_like_bsr(A: BSRTile):
     if not A.static_layout:
         f0 = jax.dtypes.float0
         kw.update(cid=np.zeros(np.shape(A.cid), f0),
+                  rowid=np.zeros(np.shape(A.rowid), f0),
                   nw=np.zeros(np.shape(A.nw), f0))
     return dataclasses.replace(A, **kw)
 
