@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 from eigenpinns_tpu.models.mlp import MLP
 from eigenpinns_tpu.sparse import BandedELL, SparseELL, neighbor_mean, spmm
+from eigenpinns_tpu.sparse.ops import FunctionOperator
 
 
 class SimpleCorrector(nn.Module):
@@ -35,9 +36,10 @@ class SimpleCorrector(nn.Module):
     @nn.compact
     def __call__(self, x, graph, deterministic: bool = True):
         # graph: (2, E) edge_index OR a prebuilt mean-aggregation operator
-        # (SparseELL / BandedELL from neighbor_mean_operator) — operators
-        # keep both the forward and the backward scatter-free on TPU.
-        if isinstance(graph, (SparseELL, BandedELL)):
+        # (SparseELL / BandedELL from neighbor_mean_operator, or a
+        # FunctionOperator wrapping a sharded SpMM) — operators keep both
+        # the forward and the backward scatter-free on TPU.
+        if isinstance(graph, (SparseELL, BandedELL, FunctionOperator)):
             agg = spmm(graph, x)
         else:
             agg = neighbor_mean(graph, x)

@@ -143,7 +143,8 @@ class MultigridTrainer:
 
     # ---- training -------------------------------------------------------
 
-    def train(self, h, log_fn=None, eval_callback=None) -> MultigridResult:
+    def train(self, h, log_fn=None, eval_callback=None, mesh=None,
+              n_devices=None) -> MultigridResult:
         """Train the corrector over the hierarchy.
 
         `eval_callback(epochs_run, U_finest)` (optional) runs host-side
@@ -151,6 +152,15 @@ class MultigridTrainer:
         M-normalized prediction (full corrector scale, same as the final
         extraction) — the hook behind mid-training subspace-error
         tracking.
+
+        `mesh` / `n_devices` (or a nonempty `cfg.mesh_shape`) switch the
+        TRAINING LOOP to the node-sharded distributed path
+        (solvers/multigrid_sharded.py): every level row-sharded over the
+        mesh's "data" axis, halo-banded per-level SpMMs, replicated
+        parameters, GSPMD Gram psums. Preprocessing and the final
+        extraction stay on the canonical single-device layout; results
+        match the single-device trainer (asserted in
+        tests/test_multigrid.py).
         """
         import eigenpinns_tpu
 
@@ -259,6 +269,28 @@ class MultigridTrainer:
             }
             return total, metrics
 
+        # ---- distributed loop override --------------------------------
+        repl_sharding = None
+        if mesh is None and n_devices is None and cfg.mesh_shape:
+            n_devices = int(np.prod(cfg.mesh_shape))
+        if mesh is not None or n_devices is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from eigenpinns_tpu.parallel.mesh import make_mesh
+            from eigenpinns_tpu.solvers.multigrid_sharded import (
+                build_sharded_multigrid_loop,
+            )
+
+            if mesh is None:
+                mesh = make_mesh(n_devices)
+            data, loss_fn = build_sharded_multigrid_loop(
+                h, cfg, mesh, model, feats, U_base, lam_list[0],
+                graph_kind=cfg.model_type.lower())
+            repl_sharding = NamedSharding(mesh, P())
+            params = jax.device_put(params, repl_sharding)
+            opt_state = jax.device_put(opt_state, repl_sharding)
+            plateau_state = jax.device_put(plateau_state, repl_sharding)
+
         def step(state: MGState, epoch, data):
             (total, metrics), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(state.params, epoch, data)
@@ -291,6 +323,11 @@ class MultigridTrainer:
                 # does not replay and the post-run checkpoint index stays
                 # monotonically above the restored one.
                 epoch0 = int(prev_step)
+                if repl_sharding is not None:
+                    # Checkpoints are mesh-shape independent (replicated
+                    # pytrees); re-place the restored state on the mesh.
+                    start_state = jax.device_put(start_state,
+                                                 repl_sharding)
 
         chunk_cb = None
         if eval_callback is not None:
@@ -299,6 +336,11 @@ class MultigridTrainer:
             # Everything large travels as jit ARGUMENTS (same rule as the
             # scan loop's `data`): closure capture would bake feats/U_base
             # and the finest M into a second multi-GB executable at 300k+.
+            # Always evaluated on the canonical single-device arrays —
+            # parameters are replicated in the sharded path, so the same
+            # predict works for both loops.
+            eval_data = {"feats": feats, "U_base": U_base, "graph": graph}
+
             @jax.jit
             def _predict_finest(params, data, M_f):
                 corr = model.apply(params, data["feats"], data["graph"])
@@ -308,7 +350,7 @@ class MultigridTrainer:
 
             def chunk_cb(epochs_run, state):
                 eval_callback(epochs_run,
-                              _predict_finest(state.params, data,
+                              _predict_finest(state.params, eval_data,
                                               h.M_ops[-1]))
 
         with prof:
