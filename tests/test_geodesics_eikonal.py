@@ -101,3 +101,41 @@ def test_eikonal_pinn_on_sphere(sphere_mesh):
     corr = np.corrcoef(res.u, y)[0, 1]
     assert corr > 0.995, corr
     assert res.residual_rms < 0.12, res.residual_rms
+
+
+@pytest.mark.slow
+def test_eikonal_pinn_learned_encodings(sphere_mesh):
+    """The full learn-the-basis-then-use-it-downstream loop: train
+    eigenfunctions with the joint PINN, feed the LEARNED encodings into
+    the eikonal solve, and compare against the exact-encoding solve —
+    the exact-vs-PINN-predicted comparison that is the point of the
+    reference's demo (Laplace-PINN-coil.ipynb cells 20-30).
+    Measured on this fixture: exact corr 0.99982 / RMS 0.088, learned
+    corr 0.99976 / RMS 0.100."""
+    from eigenpinns_tpu.geometry import assemble_stiffness_mass
+    from eigenpinns_tpu.solvers import solve_eikonal, train_joint
+    from eigenpinns_tpu.solvers.oracle import solve_eigenvalue_mesh
+    from eigenpinns_tpu.sparse import as_operator
+
+    src = int(np.argmax(sphere_mesh.verts[:, 2]))
+    y = heat_geodesics(sphere_mesh, [src])
+    _, vecs, K, M = solve_eigenvalue_mesh(sphere_mesh, 10)
+    r = train_joint(as_operator(K), as_operator(M), sphere_mesh.verts,
+                    n_modes=10, hidden=(64, 64, 64), epochs=6000,
+                    w_res=1.0, w_orth=10.0, seed=0)
+    metrics = {}
+    for name, basis in [("exact", np.asarray(vecs)),
+                        ("learned", r.eigenvectors)]:
+        res = solve_eikonal(sphere_mesh,
+                            eigen_positional_encoding(basis, 10), y,
+                            n_data=50, hidden=(100,), epochs=4000,
+                            element_batch=256, seed=0)
+        metrics[name] = (np.corrcoef(res.u, y)[0, 1], res.residual_rms)
+    corr_l, rms_l = metrics["learned"]
+    corr_e, rms_e = metrics["exact"]
+    assert corr_e > 0.995, metrics
+    # The learned basis must be a usable drop-in: near-identical field
+    # correlation and a bounded residual degradation vs the exact basis.
+    assert corr_l > 0.995, metrics
+    assert rms_l < 0.15, metrics
+    assert rms_l < rms_e + 0.06, metrics
