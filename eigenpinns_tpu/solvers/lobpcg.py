@@ -172,6 +172,7 @@ def lobpcg_blocked(
     key=None,
     dtype=jnp.float32,
     X0_full: jax.Array | None = None,
+    checkpoint_dir: str = "",
     log_fn=None,
 ):
     """k_total smallest eigenpairs in deflated sweeps of `block` modes.
@@ -184,6 +185,12 @@ def lobpcg_blocked(
     (the `Y` constraint), keep every sweep well-conditioned at any
     k_total. `X0_full` (N, >= k_total) optionally warm-starts every block
     (e.g. prolongated coarse eigenvectors).
+
+    `checkpoint_dir` persists every converged block (plus the PRNG key
+    stream) to `<dir>/lobpcg_blocked.npz` and resumes from the last one
+    on restart — a multi-hundred-second 1M x 50 sweep interrupted
+    mid-run continues instead of restarting from zero, with bit-equal
+    results (the restored key reproduces the block init sequence).
 
     Returns (eigenvalues (k_total,), eigenvectors (N, k_total),
     residual_norms (k_total,)) as numpy arrays.
@@ -198,6 +205,39 @@ def lobpcg_blocked(
     Y = jnp.zeros((n, k_total), dtype=dtype)
     vals, vecs, resids = [], [], []
     b0 = 0
+
+    ckpt_path = None
+    if checkpoint_dir:
+        import os
+
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        ckpt_path = os.path.join(checkpoint_dir, "lobpcg_blocked.npz")
+        if os.path.exists(ckpt_path):
+            z = np.load(ckpt_path)
+            if (int(z["n"]) == n and int(z["k_total"]) == k_total
+                    and int(z["block"]) == block):
+                b0 = int(z["b0"])
+                if b0 > 0:
+                    vals = [z["vals"]]
+                    vecs = [z["vecs"]]
+                    resids = [z["resids"]]
+                    Y = jax.lax.dynamic_update_slice(
+                        Y, jnp.asarray(z["vecs"], dtype), (0, 0))
+                key = jnp.asarray(z["key"], jnp.uint32)
+
+    def _save(b_next, key_next):
+        import os
+        import tempfile
+
+        fd, tmp = tempfile.mkstemp(dir=checkpoint_dir, suffix=".npz")
+        os.close(fd)
+        np.savez(tmp, n=n, k_total=k_total, block=block, b0=b_next,
+                 vals=np.concatenate(vals),
+                 vecs=np.concatenate(vecs, axis=1),
+                 resids=np.concatenate(resids),
+                 key=np.asarray(key_next))
+        os.replace(tmp, ckpt_path)
+
     while b0 < k_total:
         keep = min(block, k_total - b0)
         kb = min(block + guard, k_total + guard - b0)
@@ -217,5 +257,7 @@ def lobpcg_blocked(
         Y = jax.lax.dynamic_update_slice(
             Y, res.eigenvectors[:, :keep], (0, b0))
         b0 += keep
+        if ckpt_path is not None:
+            _save(b0, key)
     return (np.concatenate(vals), np.concatenate(vecs, axis=1),
             np.concatenate(resids))

@@ -68,6 +68,7 @@ def lobpcg_sharded(
     max_bandwidth: int = 4096,
     window: int = 1024,
     problem: ShardedProblem | None = None,
+    checkpoint_dir: str = "",
     log_fn=None,
 ):
     """Smallest-k generalized eigenpairs of scipy (K, M), node-sharded.
@@ -108,7 +109,8 @@ def lobpcg_sharded(
     if block:
         vals, vecs, resids = lobpcg_blocked(
             Kop, Mop, k, block=block, guard=guard, max_iter=max_iter,
-            tol=tol, X0_full=X0p, log_fn=log_fn)
+            tol=tol, X0_full=X0p, checkpoint_dir=checkpoint_dir,
+            log_fn=log_fn)
     else:
         res = lobpcg(Kop, Mop, X0p[:, :k], k=k, max_iter=max_iter,
                      tol=tol)

@@ -55,6 +55,7 @@ def spectral_basis(
     operator_format: str = "bsr",
     n_devices: int | None = None,
     mesh=None,
+    checkpoint_dir: str = "",
     log_fn=print,
 ) -> SpectralBasisResult:
     """Smallest-k Laplace-Beltrami eigenpairs of an (n, 3) point cloud.
@@ -133,7 +134,7 @@ def spectral_basis(
             L, sp.diags(m_diag).tocsr(), k, mesh=mesh,
             n_devices=n_devices, X=np.asarray(X), X0=X0_full,
             block=block, guard=guard, max_iter=max_iter, tol=tol,
-            window=window,
+            window=window, checkpoint_dir=checkpoint_dir,
             log_fn=(None if log_fn is None else
                     lambda b0, keep, r: log_fn(
                         f"  modes [{b0}:{b0 + keep}] converged")))
@@ -162,7 +163,8 @@ def spectral_basis(
     t0 = time.time()
     vals, vecs, resids = lobpcg_blocked(
         op, M_op, k, block=block, guard=guard, max_iter=max_iter,
-        tol=tol, X0_full=jnp.asarray(X0_full[perm]), log_fn=_log)
+        tol=tol, X0_full=jnp.asarray(X0_full[perm]),
+        checkpoint_dir=checkpoint_dir, log_fn=_log)
     timings["solve_s"] = time.time() - t0
 
     inv = np.empty_like(perm)

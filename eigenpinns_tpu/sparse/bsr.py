@@ -266,14 +266,27 @@ class BSRTile:
         cid[:] = fallback[rowid][:, None]
         cid[t_chunk, t_slot] = t_ct.astype(np.int32)
 
-        data = np.zeros((S * T, C * T),
-                        dtype=np.dtype(jnp.dtype(dtype).name))
+        np_dtype = np.dtype(jnp.dtype(dtype).name)
         slot_of_entry = np.searchsorted(tile_key, key_s)
         lr = (coo.row[order] % T).astype(np.int64)
         lc = (coo.col[order] % T).astype(np.int64)
-        data[t_chunk[slot_of_entry] * T + lr,
-             t_slot[slot_of_entry] * T + lc] = \
-            coo.data[order].astype(data.dtype)
+        d_rows = t_chunk[slot_of_entry] * T + lr
+        d_cols = t_slot[slot_of_entry] * T + lc
+        from eigenpinns_tpu.sparse import rolling as _rolling
+
+        if (S * T * C * T * np_dtype.itemsize
+                >= _rolling._DEVICE_BUILD_MIN_BYTES):
+            # Device-side assembly: upload nnz triplets (~MBs) instead
+            # of the materialized strips (~GBs) — the host->device link
+            # dominates the build otherwise (see rolling._scatter_band).
+            data = _rolling._scatter_band((S * T, C * T), dtype,
+                                 d_rows.astype(np.int32),
+                                 d_cols.astype(np.int32),
+                                 coo.data[order].astype(np.float32))
+        else:
+            data_np = np.zeros((S * T, C * T), dtype=np_dtype)
+            data_np[d_rows, d_cols] = coo.data[order].astype(np_dtype)
+            data = jnp.asarray(data_np)
 
         diag = np.asarray(Ap.diagonal()).astype(data.dtype)
 

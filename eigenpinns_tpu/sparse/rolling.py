@@ -38,6 +38,25 @@ import numpy as np
 
 from eigenpinns_tpu.sparse.banded import _round_up
 
+# Device-side band assembly: shipping a materialized multi-GB dense band
+# through the (tunneled) host->device link dominated the 300k build
+# (measured 55-190 s for 4.6 GB, link-state dependent). Uploading only
+# the nnz triplets (~26 MB at 300k) and scattering on device cuts the
+# build to the scatter compile + a seconds-scale transfer.
+_SCATTER_CACHE: dict = {}
+_DEVICE_BUILD_MIN_BYTES = 1 << 28   # 256 MB: below this, host build is fine
+
+
+def _scatter_band(shape, dtype, rows, cols, vals):
+    key = (shape, str(dtype))
+    fn = _SCATTER_CACHE.get(key)
+    if fn is None:
+        def build(r, c, v):
+            z = jnp.zeros(shape, dtype)
+            return z.at[r, c].set(v.astype(dtype))
+        fn = _SCATTER_CACHE[key] = jax.jit(build)
+    return fn(jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(vals))
+
 
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
@@ -153,8 +172,18 @@ class RollingBanded:
                 f"{max_bandwidth}; use the ELL/split path")
         bp = B + tile
 
-        band = np.zeros((n_pad, bp), dtype=np.dtype(jnp.dtype(dtype).name))
-        band[coo.row, (coo.col + pre) % bp] = coo.data.astype(band.dtype)
+        np_dtype = np.dtype(jnp.dtype(dtype).name)
+        if n_pad * bp * np_dtype.itemsize >= _DEVICE_BUILD_MIN_BYTES:
+            band = _scatter_band(
+                (n_pad, bp), dtype,
+                coo.row.astype(np.int32),
+                ((coo.col + pre) % bp).astype(np.int32),
+                coo.data.astype(np.float32))
+        else:
+            band_np = np.zeros((n_pad, bp), dtype=np_dtype)
+            band_np[coo.row, (coo.col + pre) % bp] = \
+                coo.data.astype(band_np.dtype)
+            band = jnp.asarray(band_np, dtype=dtype)
 
         transpose = None
         if with_transpose:
@@ -164,7 +193,7 @@ class RollingBanded:
                     Ap.T.tocsr(), dtype=dtype, tile=tile, reorder=False,
                     max_bandwidth=max_bandwidth, with_transpose=False)[0]
 
-        op = cls(jnp.asarray(band, dtype=dtype), pre, B, n, tile, transpose)
+        op = cls(band, pre, B, n, tile, transpose)
         return op, perm
 
     def pad_u(self, U: jax.Array) -> jax.Array:

@@ -1,0 +1,97 @@
+"""A/B harness behind the strip-BSR SpMM headline number.
+
+Measures chunk size (C) x MXU precision back-to-back in ONE session on
+the 300k cloud operator — the tunneled chip's session-to-session
+variance (observed multiple ms on a ~10 ms kernel) makes cross-session
+comparisons meaningless, so every layout decision must come from a run
+like this. Timing methodology matches bench.py exactly (chained scan
+iterations + median readback baseline).
+
+    python scripts/ab_spmm_layouts.py [n] [k]
+"""
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def main(n=300_000, kk=128):
+    import eigenpinns_tpu
+
+    eigenpinns_tpu.warmup_transfer_async()
+    import jax
+    import jax.numpy as jnp
+
+    from bench import make_cloud, peak_flops_for
+    from eigenpinns_tpu.geometry import point_cloud_laplacian
+    from eigenpinns_tpu.sparse import BSRTile, bsr_spmm_gram
+
+    print("devices:", jax.devices())
+    X = make_cloud(n)
+    t0 = time.time()
+    L, _ = point_cloud_laplacian(X, n_neighbors=15)
+    print(f"laplacian {time.time()-t0:.1f}s nnz={L.nnz}")
+
+    U = jnp.asarray(np.random.default_rng(1).normal(
+        size=(n, kk)).astype(np.float32))
+    R = 20
+    peak = peak_flops_for(jax.devices()[0])
+
+    tiny = jax.jit(lambda U: jnp.sum(U))
+    float(tiny(U))
+
+    def measure(op):
+        @jax.jit
+        def chained(op, U):
+            def it(c, _):
+                W, G = bsr_spmm_gram(op, c)
+                return W / (1e-6 + jnp.max(jnp.abs(W))), G
+            return jax.lax.scan(it, U, None, length=R)
+
+        base_samples = []
+        for _ in range(7):
+            t0 = time.time()
+            float(tiny(U))
+            base_samples.append(time.time() - t0)
+        base = float(np.median(base_samples))
+        c, _ = chained(op, U)
+        float(jnp.sum(c))
+        times = []
+        for _ in range(5):
+            t0 = time.time()
+            c, _ = chained(op, U)
+            float(jnp.sum(c))
+            times.append(time.time() - t0)
+        return (float(np.median(times)) - base) / R
+
+    rows = []
+    for C in (4, 8, 16):
+        t0 = time.time()
+        op0, _ = BSRTile.from_scipy(L, chunk=C)
+        build_s = time.time() - t0
+        for prec in ("highest", "high", "bf16"):
+            op = op0.with_precision(prec)
+            t = measure(op)
+            flops = (2.0 * op.data.shape[0] * op.data.shape[1] * kk
+                     + 2.0 * n * kk * kk)
+            strip_b = op.data.nbytes if prec != "bf16" else (
+                op.data.nbytes // 2)
+            moved = (strip_b                      # strips read
+                     + op.n_chunks * op.chunk * 128 * kk * 4   # U gathers
+                     + op.n_row_tiles * 128 * kk * 4)          # out write
+            rows.append((C, prec, t * 1e3, flops / t / 1e12,
+                         flops / t / peak, moved / t / 1e12))
+            print(f"C={C:2d} prec={prec:8s}: {t*1e3:7.2f} ms  "
+                  f"{flops/t/1e12:5.1f} TF/s  MFU={flops/t/peak:.3f}  "
+                  f"{moved/t/1e12:.3f} TB/s  (S={op.n_chunks}, "
+                  f"build {build_s:.1f}s)")
+    print("\nbest:", min(rows, key=lambda r: r[2]))
+
+
+if __name__ == "__main__":
+    args = [int(a) for a in sys.argv[1:]]
+    main(*args)

@@ -201,3 +201,33 @@ def test_scan_loop_start_epoch_and_below_tol():
                          early_stop_mode="below_tol", early_stop_tol=1e-6)
     assert res2.stopped_early
     assert res2.epochs_run <= 15
+
+
+def test_device_side_band_assembly_matches_host():
+    """The device-scatter build path (used above the transfer threshold)
+    produces bit-identical operators to the host-numpy build."""
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+
+    from eigenpinns_tpu.sparse import bsr, rolling
+
+    rng = np.random.default_rng(3)
+    n = 500
+    A = sp.random(n, n, density=0.02, random_state=1).tocsr()
+    A = (A + A.T).tocsr()
+
+    old = rolling._DEVICE_BUILD_MIN_BYTES
+    try:
+        rolling._DEVICE_BUILD_MIN_BYTES = 0
+        op_dev, p1 = rolling.RollingBanded.from_scipy(A)
+        bsr_dev, p3 = bsr.BSRTile.from_scipy(A)
+    finally:
+        rolling._DEVICE_BUILD_MIN_BYTES = old
+    op_host, p2 = rolling.RollingBanded.from_scipy(A)
+    bsr_host, p4 = bsr.BSRTile.from_scipy(A)
+    assert np.array_equal(p1, p2)
+    assert np.array_equal(np.asarray(op_dev.band),
+                          np.asarray(op_host.band))
+    assert np.array_equal(np.asarray(bsr_dev.data),
+                          np.asarray(bsr_host.data))
+    del jnp, rng
