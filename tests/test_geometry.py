@@ -115,9 +115,13 @@ def test_bunny_ground_truth_eigenvalues(bunny_mesh):
     )
     assert abs(vals[0]) < 1e-6
     rel = np.abs(vals[1:] - expected[1:]) / expected[1:]
-    # Local-triangulation variant (no intrinsic Delaunay flips) -> allow a
-    # modest discretization gap vs the C++ robust_laplacian values.
-    assert rel.max() < 0.10, f"rel errors {rel}"
+    # Tuned construction (kn=38 one-ring union, count/3 weights,
+    # intrinsic Delaunay flips): measured mean 1.22% / max 2.57% vs the
+    # recorded C++ robust_laplacian values (docs/PARITY.md has the
+    # tuning ledger). Bounds set so a regression to the old +2.2%
+    # uniform bias (max 4.2%) fails.
+    assert rel.mean() < 0.018, f"mean rel {rel.mean()}, {rel}"
+    assert rel.max() < 0.033, f"rel errors {rel}"
 
 
 def test_native_kernels_match_python(bunny_mesh):
