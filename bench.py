@@ -149,47 +149,65 @@ def bench_large_n(n: int = 300_000, k: int = 20) -> dict:
     # count. Timing: R iterations chained inside one jit (each feeding
     # the next) + one host readback, minus the readback baseline — the
     # tunneled relay's dispatch cannot be timed out of a single call.
+    # Two lines: f32-HIGHEST (solver-grade) and bf16-stored strips
+    # (training-loss-grade, half the strip bytes, one MXU pass); both
+    # with the HBM-traffic GB/s alongside MFU. Layout chunk=4 per the
+    # A/B in scripts/ab_spmm_layouts.py (best at every precision).
     kk = 128
     U = jnp.asarray(np.random.default_rng(1).normal(
         size=(n, kk)).astype(np.float32))
     R = 20
 
-    @jax.jit
-    def chained(K_op, U):
-        def it(c, _):
-            W, G = bsr_spmm_gram(K_op, c)
-            return W / (1e-6 + jnp.max(jnp.abs(W))), G
-        return jax.lax.scan(it, U, None, length=R)
+    def measure_spmm(op):
+        @jax.jit
+        def chained(op, U):
+            def it(c, _):
+                W, G = bsr_spmm_gram(op, c)
+                return W / (1e-6 + jnp.max(jnp.abs(W))), G
+            return jax.lax.scan(it, U, None, length=R)
 
-    # Readback baseline as a median: a single sample is hostage to relay
-    # jitter and skews the subtracted kernel time by multiple ms.
-    tiny = jax.jit(lambda U: jnp.sum(U))
-    float(tiny(U))
-    base_samples = []
-    for _ in range(7):
-        t0 = time.time()
+        # Readback baseline as a median: a single sample is hostage to
+        # relay jitter and skews the subtracted kernel time by ms.
+        tiny = jax.jit(lambda U: jnp.sum(U))
         float(tiny(U))
-        base_samples.append(time.time() - t0)
-    base = float(np.median(base_samples))
-    c, _ = chained(K_op, U)
-    float(jnp.sum(c))
-    times = []
-    for _ in range(5):
-        t0 = time.time()
-        c, _ = chained(K_op, U)
+        base_samples = []
+        for _ in range(7):
+            t0 = time.time()
+            float(tiny(U))
+            base_samples.append(time.time() - t0)
+        base = float(np.median(base_samples))
+        c, _ = chained(op, U)
         float(jnp.sum(c))
-        times.append(time.time() - t0)
-    t_spmm = (float(np.median(times)) - base) / R
+        times = []
+        for _ in range(5):
+            t0 = time.time()
+            c, _ = chained(op, U)
+            float(jnp.sum(c))
+            times.append(time.time() - t0)
+        return (float(np.median(times)) - base) / R
+
+    peak = peak_flops_for(jax.devices()[0])
     # Executed FLOPs: strip matmuls (2 * strip_rows * strip_cols * k)
     # plus the XLA-epilogue Gram (2*n*k*k).
     flops = (2.0 * K_op.data.shape[0] * K_op.data.shape[1] * kk
              + 2.0 * n * kk * kk)
-    peak = peak_flops_for(jax.devices()[0])
-    achieved = flops / t_spmm
+
+    spmm_lines = {}
+    for prec in ("highest", "bf16"):
+        op = K_op.with_precision(prec)
+        t_spmm = measure_spmm(op)
+        strip_b = op.data.nbytes if prec != "bf16" else op.data.nbytes // 2
+        moved = (strip_b
+                 + op.n_chunks * op.chunk * 128 * kk * 4   # U tile gathers
+                 + op.n_row_tiles * 128 * kk * 4)          # output write
+        achieved = flops / t_spmm
+        spmm_lines[prec] = (t_spmm, achieved, moved / t_spmm)
+        log(f"[{n//1000}k] strip-BSR SpMM+Gram k={kk} [{prec}]: "
+            f"{t_spmm*1e3:.2f} ms, {achieved/1e12:.1f} TFLOP/s, "
+            f"MFU={achieved/peak:.3f}, {moved/t_spmm/1e9:.0f} GB/s "
+            f"(peak {peak/1e12:.0f} TF bf16)")
+    t_spmm, achieved, _ = spmm_lines["highest"]
     mfu = achieved / peak
-    log(f"[{n//1000}k] strip-BSR SpMM+Gram k={kk}: {t_spmm*1e3:.2f} ms, "
-        f"{achieved/1e12:.1f} TFLOP/s achieved, MFU={mfu:.3f} "
-        f"(peak {peak/1e12:.0f} TF bf16; kernel runs f32-HIGHEST)")
 
     # --- training steps/s at 300k ---------------------------------------
     # Production config at k=20 (what build_hierarchy picks): rolling-
@@ -212,13 +230,33 @@ def bench_large_n(n: int = 300_000, k: int = 20) -> dict:
         lr_start=2e-3, lr_end=2e-4, seed=0, rayleigh_ritz_finish=False,
         loss_mxu_precision="bf16")
     steps = median_chunk_rate(res.chunk_times)
+    # Training-step FLOP accounting (VERDICT r3 item 7): dominant terms
+    # of one penalty-mode step — the rolling-band K U (fwd + transposed
+    # VJP), the MLP forward + ~2x backward, and the k x k Gram terms
+    # (fwd + backward). Elementwise/optimizer work is not counted, so
+    # this is a slight undercount (reported MFU is conservative).
+    band_elems = K_tr.band.shape[0] * K_tr.band.shape[1]
+    dims = [3, 256, 256, 256, k]
+    mlp_fwd = 2.0 * n * sum(a * b for a, b in zip(dims[:-1], dims[1:]))
+    step_flops = (2 * (2.0 * band_elems * k)      # K U fwd + VJP
+                  + 3.0 * mlp_fwd                 # MLP fwd + bwd
+                  + 3.0 * (2.0 * n * k * k)       # Grams fwd + bwd
+                  + 4.0 * (2.0 * n * k))          # lam/residual dots
+    step_tflops = step_flops * steps / 1e12
+    step_mfu = step_flops * steps / peak
     log(f"[{n//1000}k] direct training k={k}: {steps:.1f} steps/s "
-        f"(total {time.time()-t0:.1f}s)")
+        f"({step_tflops:.1f} TFLOP/s, step MFU {step_mfu:.3f}, "
+        f"total {time.time()-t0:.1f}s)")
     return {
         "train_steps_per_sec": round(steps, 2),
-        "spmm_gram_ms": round(t_spmm * 1e3, 3),
-        "spmm_achieved_tflops": round(achieved / 1e12, 2),
+        "step_tflops": round(step_tflops, 2),
+        "step_mfu": round(step_mfu, 4),
+        "spmm_gram_ms": round(spmm_lines["highest"][0] * 1e3, 3),
+        "spmm_achieved_tflops": round(spmm_lines["highest"][1] / 1e12, 2),
         "spmm_mfu_vs_bf16_peak": round(mfu, 4),
+        "spmm_hbm_gbps": round(spmm_lines["highest"][2] / 1e9, 1),
+        "spmm_bf16_ms": round(spmm_lines["bf16"][0] * 1e3, 3),
+        "spmm_bf16_gbps": round(spmm_lines["bf16"][2] / 1e9, 1),
         "strip_w_tiles": int(K_op.strip_w),
     }
 

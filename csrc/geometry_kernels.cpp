@@ -20,6 +20,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <deque>
 #include <unordered_map>
 #include <vector>
 
@@ -405,6 +406,200 @@ int64_t epk_local_triangulations(const double* pts, int64_t n,
     }
   }
   return count;
+}
+
+
+// Intrinsic Delaunay flips on a triangle soup (port of
+// eigenpinns_tpu/geometry/point_cloud.py::intrinsic_delaunay_flips —
+// same radial tufted-style edge pairing, same intrinsic unfold; the
+// Python loop costs ~1.2 ms per 1k triangles, this kernel removes the
+// 100k-triangle gate for production clouds). tris (T,3) int64,
+// lengths (T,3) double (edge opposite corner), weights (T,) double —
+// all mutated in place. Returns the number of flips (>= 0) or -1.
+int64_t epk_delaunay_flips(const double* pts, int64_t n_pts,
+                           int64_t* tris, double* lengths, double* weights,
+                           int64_t T, int64_t max_flips) {
+  (void)n_pts;
+  if (max_flips < 0) max_flips = 30 * T;
+  auto cot_at = [&](int64_t t, int c) -> double {
+    const double* l = lengths + 3 * t;
+    double a = l[(c + 1) % 3], b = l[(c + 2) % 3], lc = l[c];
+    double s = 0.5 * (a + b + lc);
+    double area2 = s * (s - a) * (s - b) * (s - lc);
+    if (area2 < 1e-300) area2 = 1e-300;
+    return (a * a + b * b - lc * lc) / (4.0 * std::sqrt(area2));
+  };
+
+  // Edge sides per vertex pair, in first-seen order (mirrors the
+  // Python dict's insertion order so both paths flip identically).
+  struct Side { int64_t t; int c; };
+  std::unordered_map<uint64_t, int64_t> vp_slot;
+  std::vector<std::vector<Side>> vp_sides;
+  std::vector<uint64_t> vp_keys;
+  vp_slot.reserve(2 * (size_t)T);
+  auto key_of = [](int64_t u, int64_t v) -> uint64_t {
+    if (u > v) std::swap(u, v);
+    return ((uint64_t)u << 32) | (uint64_t)v;
+  };
+  for (int64_t t = 0; t < T; ++t) {
+    int64_t a = tris[3 * t], b = tris[3 * t + 1], c = tris[3 * t + 2];
+    int64_t es[3][2] = {{b, c}, {a, c}, {a, b}};
+    for (int corner = 0; corner < 3; ++corner) {
+      uint64_t k = key_of(es[corner][0], es[corner][1]);
+      auto it = vp_slot.find(k);
+      int64_t slot;
+      if (it == vp_slot.end()) {
+        slot = (int64_t)vp_sides.size();
+        vp_slot.emplace(k, slot);
+        vp_sides.emplace_back();
+        vp_keys.push_back(k);
+      } else {
+        slot = it->second;
+      }
+      vp_sides[slot].push_back({t, corner});
+    }
+  }
+
+  // Radial pairing -> glued edge ids (flat: 2 sides per eid).
+  std::vector<Side> sides2;                  // [2*eid], [2*eid+1]
+  std::vector<char> paired;                  // eid has 2 sides?
+  std::vector<int64_t> tri_eid(3 * (size_t)T, -1);
+  for (size_t s = 0; s < vp_sides.size(); ++s) {
+    auto& lst = vp_sides[s];
+    uint64_t k = vp_keys[s];
+    int64_t u = (int64_t)(k >> 32), v = (int64_t)(k & 0xffffffffu);
+    if (lst.size() >= 2) {
+      double ax = pts[3 * v] - pts[3 * u];
+      double ay = pts[3 * v + 1] - pts[3 * u + 1];
+      double az = pts[3 * v + 2] - pts[3 * u + 2];
+      double an = std::sqrt(ax * ax + ay * ay + az * az) + 1e-300;
+      ax /= an; ay /= an; az /= an;
+      double r1[3] = {1, 0, 0}, r2[3] = {0, 0, 0};
+      bool have_ref = false;
+      std::vector<std::pair<double, Side>> ang;
+      ang.reserve(lst.size());
+      for (auto& sd : lst) {
+        int64_t apex = tris[3 * sd.t + sd.c];
+        double wx = pts[3 * apex] - pts[3 * u];
+        double wy = pts[3 * apex + 1] - pts[3 * u + 1];
+        double wz = pts[3 * apex + 2] - pts[3 * u + 2];
+        double dot = wx * ax + wy * ay + wz * az;
+        wx -= ax * dot; wy -= ay * dot; wz -= az * dot;
+        if (!have_ref) {
+          double nw = std::sqrt(wx * wx + wy * wy + wz * wz);
+          if (nw > 1e-300) { r1[0] = wx / nw; r1[1] = wy / nw; r1[2] = wz / nw; }
+          r2[0] = ay * r1[2] - az * r1[1];
+          r2[1] = az * r1[0] - ax * r1[2];
+          r2[2] = ax * r1[1] - ay * r1[0];
+          have_ref = true;
+        }
+        double x = wx * r1[0] + wy * r1[1] + wz * r1[2];
+        double y = wx * r2[0] + wy * r2[1] + wz * r2[2];
+        ang.push_back({std::atan2(y, x), sd});
+      }
+      std::stable_sort(ang.begin(), ang.end(),
+                       [](const std::pair<double, Side>& a,
+                          const std::pair<double, Side>& b) {
+                         return a.first < b.first;
+                       });
+      for (size_t i = 0; i < ang.size(); ++i) lst[i] = ang[i].second;
+    }
+    size_t j = 0;
+    for (; j + 1 < lst.size(); j += 2) {
+      int64_t eid = (int64_t)paired.size();
+      sides2.push_back(lst[j]);
+      sides2.push_back(lst[j + 1]);
+      paired.push_back(1);
+      tri_eid[3 * lst[j].t + lst[j].c] = eid;
+      tri_eid[3 * lst[j + 1].t + lst[j + 1].c] = eid;
+    }
+    if (j < lst.size()) {
+      int64_t eid = (int64_t)paired.size();
+      sides2.push_back(lst[j]);
+      sides2.push_back(lst[j]);
+      paired.push_back(0);
+      tri_eid[3 * lst[j].t + lst[j].c] = eid;
+    }
+  }
+
+  std::deque<int64_t> queue;
+  std::vector<char> in_queue(paired.size(), 0);
+  for (size_t e = 0; e < paired.size(); ++e)
+    if (paired[e]) { queue.push_back((int64_t)e); in_queue[e] = 1; }
+
+  int64_t n_flips = 0;
+  const double eps = 1e-12;
+  while (!queue.empty() && n_flips < max_flips) {
+    int64_t eid = queue.front();
+    queue.pop_front();
+    in_queue[eid] = 0;
+    if (!paired[eid]) continue;
+    Side s1 = sides2[2 * eid], s2 = sides2[2 * eid + 1];
+    int64_t t1 = s1.t, t2 = s2.t;
+    int c1 = s1.c, c2 = s2.c;
+    if (cot_at(t1, c1) + cot_at(t2, c2) >= -eps) continue;
+    int64_t apex1 = tris[3 * t1 + c1];
+    int64_t apex2 = tris[3 * t2 + c2];
+    if (apex1 == apex2) continue;
+    int64_t p = tris[3 * t1 + (c1 + 1) % 3];
+    int64_t q = tris[3 * t1 + (c1 + 2) % 3];
+    int iq2 = -1, ip2 = -1;
+    for (int i = 0; i < 3; ++i) {
+      if (tris[3 * t2 + i] == q) iq2 = i;
+      if (tris[3 * t2 + i] == p) ip2 = i;
+    }
+    if (iq2 < 0 || ip2 < 0) continue;
+    double L = lengths[3 * t1 + c1];
+    double pc = lengths[3 * t1 + (c1 + 2) % 3];
+    double qc = lengths[3 * t1 + (c1 + 1) % 3];
+    double pd = lengths[3 * t2 + iq2];
+    double qd = lengths[3 * t2 + ip2];
+    double xc = (pc * pc - qc * qc + L * L) / (2 * L);
+    double yc = std::sqrt(std::max(pc * pc - xc * xc, 0.0));
+    double xd = (pd * pd - qd * qd + L * L) / (2 * L);
+    double yd = -std::sqrt(std::max(pd * pd - xd * xd, 0.0));
+    double diag = std::hypot(xc - xd, yc - yd);
+    if (diag <= eps || diag + 1e-12 >= pc + pd || diag + 1e-12 >= qc + qd)
+      continue;
+
+    int64_t e_pc = tri_eid[3 * t1 + (c1 + 2) % 3];
+    int64_t e_qc = tri_eid[3 * t1 + (c1 + 1) % 3];
+    int64_t e_pd = tri_eid[3 * t2 + iq2];
+    int64_t e_qd = tri_eid[3 * t2 + ip2];
+
+    tris[3 * t1] = p; tris[3 * t1 + 1] = apex1; tris[3 * t1 + 2] = apex2;
+    lengths[3 * t1] = diag; lengths[3 * t1 + 1] = pd; lengths[3 * t1 + 2] = pc;
+    tris[3 * t2] = q; tris[3 * t2 + 1] = apex1; tris[3 * t2 + 2] = apex2;
+    lengths[3 * t2] = diag; lengths[3 * t2 + 1] = qd; lengths[3 * t2 + 2] = qc;
+    double w_new = 0.5 * (weights[t1] + weights[t2]);
+    weights[t1] = weights[t2] = w_new;
+
+    sides2[2 * eid] = Side{t1, 0};
+    sides2[2 * eid + 1] = Side{t2, 0};
+    tri_eid[3 * t1] = eid;
+    tri_eid[3 * t2] = eid;
+
+    auto rewire = [&](int64_t e, int64_t old_t, Side ns) {
+      if (e < 0) return;
+      for (int i = 0; i < 2; ++i)
+        if (sides2[2 * e + i].t == old_t) { sides2[2 * e + i] = ns; break; }
+      tri_eid[3 * ns.t + ns.c] = e;
+    };
+    rewire(e_pc, t1, Side{t1, 2});
+    rewire(e_pd, t2, Side{t1, 1});
+    rewire(e_qc, t1, Side{t2, 2});
+    rewire(e_qd, t2, Side{t2, 1});
+    ++n_flips;
+    int64_t touched[5] = {eid, e_pc, e_pd, e_qc, e_qd};
+    for (int i = 0; i < 5; ++i) {
+      int64_t e = touched[i];
+      if (e >= 0 && paired[e] && !in_queue[e]) {
+        queue.push_back(e);
+        in_queue[e] = 1;
+      }
+    }
+  }
+  return n_flips;
 }
 
 }  // extern "C"

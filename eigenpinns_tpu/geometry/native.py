@@ -87,6 +87,10 @@ def load_native():
         lib.epk_local_triangulations.restype = ctypes.c_int64
         lib.epk_local_triangulations.argtypes = [
             c_d, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, c_i]
+        lib.epk_delaunay_flips.restype = ctypes.c_int64
+        lib.epk_delaunay_flips.argtypes = [
+            c_d, ctypes.c_int64, c_i, c_d, c_d,
+            ctypes.c_int64, ctypes.c_int64]
         _LIB = lib
     except OSError:
         _LIB = None
@@ -154,3 +158,23 @@ def local_triangulations_native(points: np.ndarray,
     if cnt < 0:
         raise ValueError(f"epk_local_triangulations failed ({cnt})")
     return out[:cnt]
+
+
+def delaunay_flips_native(points: np.ndarray, tris: np.ndarray,
+                          lengths: np.ndarray, weights: np.ndarray,
+                          max_flips: int = -1) -> int:
+    """In-place intrinsic Delaunay flips (csrc port of
+    point_cloud.intrinsic_delaunay_flips). Returns the flip count."""
+    lib = load_native()
+    if lib is None:
+        raise RuntimeError("native library not built (make -C csrc)")
+    pts = np.ascontiguousarray(points, dtype=np.float64)
+    assert tris.dtype == np.int64 and tris.flags.c_contiguous
+    assert lengths.dtype == np.float64 and lengths.flags.c_contiguous
+    assert weights.dtype == np.float64 and weights.flags.c_contiguous
+    rc = lib.epk_delaunay_flips(_ptr_d(pts), pts.shape[0], _ptr_i(tris),
+                                _ptr_d(lengths), _ptr_d(weights),
+                                tris.shape[0], max_flips)
+    if rc < 0:
+        raise ValueError(f"epk_delaunay_flips failed (rc={rc})")
+    return int(rc)

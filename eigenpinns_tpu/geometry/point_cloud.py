@@ -142,13 +142,27 @@ def intrinsic_delaunay_flips(tris: np.ndarray, lengths: np.ndarray,
         3D; `points` is used ONLY for the one-time radial pairing;
       * a flip's two triangles average their soup weights.
 
-    Mutates and returns (tris, lengths, weights).
+    Mutates and returns (tris, lengths, weights). Uses the C++ kernel
+    (csrc, epk_delaunay_flips — an exact port incl. the pairing order)
+    when built; the Python loop below is the reference path.
     """
     from collections import defaultdict, deque
 
     T = tris.shape[0]
     if max_flips is None:
         max_flips = 30 * T
+
+    from eigenpinns_tpu.geometry import native as _native
+
+    if _native.available():
+        tris64 = np.ascontiguousarray(tris, dtype=np.int64)
+        l64 = np.ascontiguousarray(lengths, dtype=np.float64)
+        w64 = np.ascontiguousarray(weights, dtype=np.float64)
+        _native.delaunay_flips_native(points, tris64, l64, w64, max_flips)
+        tris[:] = tris64
+        lengths[:] = l64
+        weights[:] = w64
+        return tris, lengths, weights
 
     # ---- initial gluing: radial pairing per vertex-pair edge ----------
     by_vpair: dict = defaultdict(list)
@@ -282,13 +296,16 @@ def cotan_laplacian_from_soup(
 
     ``delaunay_flips``: run the intrinsic-Delaunay flip pass first
     (Sharp-Crane sec 3.4; measurably softens the spectrum toward the
-    C++ robust_laplacian output). "auto" enables it below 100k
-    triangles — the pass is a host-side Python loop (~1.2 ms per 1k
-    triangles) pending a csrc port, and at 300k+ the operator feeds
-    iterative solvers whose accuracy is dominated by other terms.
+    C++ robust_laplacian output). "auto" enables it whenever the csrc
+    kernel is built (seconds at millions of triangles); without the
+    native build the Python loop (~1.2 ms per 1k triangles) is only
+    used below 100k triangles.
     """
     if delaunay_flips == "auto":
-        delaunay_flips = tris.shape[0] < 100_000
+        from eigenpinns_tpu.geometry import native as _native
+
+        delaunay_flips = (_native.available()
+                          or tris.shape[0] < 100_000)
     n = points.shape[0]
     p = points[tris]  # (T, 3, 3)
     # Edge lengths opposite each corner: l[:, c] = |edge opposite corner c|

@@ -155,3 +155,31 @@ def test_native_kernels_match_python(bunny_mesh):
     f = native.fps_native(X, 50)
     d, _ = cKDTree(X[f]).query(X, k=1)
     assert d.max() < 0.6
+
+
+def test_native_delaunay_flips_match_python(bunny_mesh):
+    """The csrc flip kernel and the Python reference path produce the
+    same operator (spectra to machine precision; raw arrays may differ
+    in co-circular tie order)."""
+    from eigenpinns_tpu.geometry import native as nat
+    from eigenpinns_tpu.geometry.point_cloud import (
+        cotan_laplacian_from_soup,
+        local_triangulations,
+    )
+
+    if not nat.available():
+        pytest.skip("native library not built")
+    tris, w = local_triangulations(bunny_mesh.verts, n_neighbors=38,
+                                   return_weights=True)
+    L1, M1 = cotan_laplacian_from_soup(bunny_mesh.verts, tris,
+                                       tri_weights=w)
+    lib, tried = nat._LIB, nat._LIB_TRIED
+    try:
+        nat._LIB, nat._LIB_TRIED = None, True
+        L2, M2 = cotan_laplacian_from_soup(bunny_mesh.verts, tris,
+                                           tri_weights=w)
+    finally:
+        nat._LIB, nat._LIB_TRIED = lib, tried
+    v1 = eigsh(L1, k=8, M=M1, sigma=-0.01, which="LM")[0]
+    v2 = eigsh(L2, k=8, M=M2, sigma=-0.01, which="LM")[0]
+    assert np.abs((v1[1:] - v2[1:]) / v2[1:]).max() < 1e-10, (v1, v2)
