@@ -70,9 +70,11 @@ def spectral_basis(
     'bsr' solves in **104.5 s** once its kernels are compile-cached
     (first-ever run at a given shape pays a heavy Mosaic compile —
     cached persistently across processes via the compile cache that
-    warmup enables) and its host-side build is ~20 s vs ~440 s for
-    'split's cluster ordering; 'split' solves in 193 s with no big
-    compile and lower HBM (relevant only if ~9 GB residency is tight).
+    warmup enables) and its host-side build is ~20 s vs 134 s for the
+    full 'split' build (cluster ordering itself is 13 s; the rest is
+    the scipy permutation + banding — round 3, with device-side band
+    assembly); 'split' solves in 193 s with no big compile and lower
+    HBM (relevant only if ~9 GB residency is tight).
 
     `n_devices`/`mesh`: run the blocked solve node-sharded over a
     `jax.sharding.Mesh` (solvers/lobpcg_sharded.py — halo-banded /
