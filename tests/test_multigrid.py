@@ -278,3 +278,28 @@ def test_multigrid_sharded_matches_single_device(small_hierarchy):
         rel = np.abs(np.asarray(a) - np.asarray(b)) / np.maximum(
             np.abs(np.asarray(a)), 1e-6)
         assert rel.max() < 2e-2, (a, b)
+
+
+def test_multigrid_sharded_banded_and_spectral(coarse1_mesh):
+    """The sharded loop's other axes: a banded-format (per-level RCM)
+    hierarchy, and the SpectralCorrector's GCN aggregation operator —
+    both must train sharded and stay finite/consistent."""
+    h = build_hierarchy(coarse1_mesh, [64, 120], n_modes=4,
+                        sampler_type="farthest_point", pc_neighbors=15,
+                        operator_format="auto")
+    cfg = small_config(n_modes=4, epochs=80, polish_iters=0,
+                       loss_mxu_precision="highest")
+    r1 = MultigridTrainer(cfg).train(h)
+    r8 = MultigridTrainer(cfg).train(h, n_devices=8)
+    l1 = np.asarray(r1.history["loss"])
+    l8 = np.asarray(r8.history["loss"])
+    assert (np.abs(l1 - l8) / np.maximum(np.abs(l1), 1e-9)).max() < 1e-3
+
+    cfg_sp = small_config(n_modes=4, epochs=40, polish_iters=0,
+                          model_type="spectral",
+                          loss_mxu_precision="highest")
+    r1s = MultigridTrainer(cfg_sp).train(h)
+    r8s = MultigridTrainer(cfg_sp).train(h, n_devices=8)
+    l1s = np.asarray(r1s.history["loss"])
+    l8s = np.asarray(r8s.history["loss"])
+    assert (np.abs(l1s - l8s) / np.maximum(np.abs(l1s), 1e-9)).max() < 1e-3
