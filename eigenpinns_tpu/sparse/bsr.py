@@ -346,31 +346,83 @@ def bsr_spmm_pallas(A: BSRTile, U: jax.Array,
     n_rt = A.n_row_tiles
     # 1D: 2D SMEM scalar operands pad their minor dim to 128 and blow
     # the 1MB SMEM budget at a few thousand chunks.
-    cid = jnp.asarray(np.asarray(A.cid).reshape(-1), jnp.int32)
+    cid_np = np.asarray(A.cid)
+    cid = jnp.asarray(cid_np.reshape(-1), jnp.int32)
     rowid = jnp.asarray(np.asarray(A.rowid), jnp.int32)
+    # Pair coalescing: the kernel is DMA-gather-LATENCY bound (measured:
+    # time barely moves across 2x byte/FLOP changes), so halving the
+    # DMA count where adjacent slots hold CONSECUTIVE column tiles (a
+    # common pattern after RCM: ~76% of slot-(0,1) pairs at 300k) is
+    # the lever. Per pair: one 2T-row copy when contiguous, two T-row
+    # copies otherwise, branch driven by a precomputed scalar-prefetch
+    # flag. Only available with a host-side (static) layout.
+    coalesce = A.static_layout and C % 2 == 0
+    if coalesce:
+        pairc_np = (cid_np[:, 1::2] == cid_np[:, 0::2] + 1)
+        pairc = jnp.asarray(pairc_np.astype(np.int32).reshape(-1))
+    else:
+        pairc = jnp.zeros((1,), jnp.int32)   # unused placeholder
 
-    def kernel(cid_ref, rowid_ref, strip_ref, u_ref, out_ref, ubuf, sem):
+    def kernel(cid_ref, rowid_ref, pairc_ref, strip_ref, u_ref, out_ref,
+               ubuf, sem):
         s = pl.program_id(0)
         n_s = pl.num_programs(0)
 
-        def copies(slot, ss):
-            return [pltpu.make_async_copy(
+        def single_copy(slot, ss, j):
+            return pltpu.make_async_copy(
                 u_ref.at[pl.ds(cid_ref[ss * C + j] * T, T), :],
                 ubuf.at[slot, pl.ds(j * T, T), :],
-                sem.at[slot, j]) for j in range(C)]
+                sem.at[slot, j])
+
+        def pair_copy(slot, ss, j):
+            return pltpu.make_async_copy(
+                u_ref.at[pl.ds(cid_ref[ss * C + j] * T, 2 * T), :],
+                ubuf.at[slot, pl.ds(j * T, 2 * T), :],
+                sem.at[slot, j])
+
+        def start_copies(slot, ss):
+            if not coalesce:
+                for j in range(C):
+                    single_copy(slot, ss, j).start()
+                return
+            for j in range(0, C, 2):
+                contig = pairc_ref[ss * (C // 2) + j // 2] == 1
+
+                @pl.when(contig)
+                def _(slot=slot, ss=ss, j=j):
+                    pair_copy(slot, ss, j).start()
+
+                @pl.when(jnp.logical_not(contig))
+                def _(slot=slot, ss=ss, j=j):
+                    single_copy(slot, ss, j).start()
+                    single_copy(slot, ss, j + 1).start()
+
+        def wait_copies(slot, ss):
+            if not coalesce:
+                for j in range(C):
+                    single_copy(slot, ss, j).wait()
+                return
+            for j in range(0, C, 2):
+                contig = pairc_ref[ss * (C // 2) + j // 2] == 1
+
+                @pl.when(contig)
+                def _(slot=slot, ss=ss, j=j):
+                    pair_copy(slot, ss, j).wait()
+
+                @pl.when(jnp.logical_not(contig))
+                def _(slot=slot, ss=ss, j=j):
+                    single_copy(slot, ss, j).wait()
+                    single_copy(slot, ss, j + 1).wait()
 
         @pl.when(s == 0)
         def _():
-            for c in copies(0, 0):
-                c.start()
+            start_copies(0, 0)
 
         @pl.when(s + 1 < n_s)
         def _():
-            for c in copies((s + 1) % 2, s + 1):
-                c.start()
+            start_copies((s + 1) % 2, s + 1)
 
-        for c in copies(s % 2, s):
-            c.wait()
+        wait_copies(s % 2, s)
 
         if A.mxu_precision == "highest":
             w = jnp.dot(strip_ref[:], ubuf[s % 2],
@@ -407,13 +459,14 @@ def bsr_spmm_pallas(A: BSRTile, U: jax.Array,
             out_ref[:] = out_ref[:] + w.astype(out_ref.dtype)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(S,),
         in_specs=[
-            pl.BlockSpec((T, C * T), lambda s, cid, rowid: (s, 0)),
+            pl.BlockSpec((T, C * T), lambda s, cid, rowid, pairc: (s, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((T, k), lambda s, cid, rowid: (rowid[s], 0)),
+        out_specs=pl.BlockSpec((T, k),
+                               lambda s, cid, rowid, pairc: (rowid[s], 0)),
         scratch_shapes=[
             pltpu.VMEM((2, C * T, k), U.dtype),
             pltpu.SemaphoreType.DMA((2, C)),
@@ -424,7 +477,7 @@ def bsr_spmm_pallas(A: BSRTile, U: jax.Array,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_rt * T, k), U.dtype),
         interpret=interpret,
-    )(cid, rowid, A.data, Up)
+    )(cid, rowid, pairc, A.data, Up)
     return W_out[: A.n, : k_orig]
 
 
