@@ -356,7 +356,10 @@ def bsr_spmm_pallas(A: BSRTile, U: jax.Array,
     # the lever. Per pair: one 2T-row copy when contiguous, two T-row
     # copies otherwise, branch driven by a precomputed scalar-prefetch
     # flag. Only available with a host-side (static) layout.
-    coalesce = A.static_layout and C % 2 == 0
+    import os
+
+    coalesce = (A.static_layout and C % 2 == 0
+                and not os.environ.get("EIGENPINNS_BSR_NO_COALESCE"))
     if coalesce:
         pairc_np = (cid_np[:, 1::2] == cid_np[:, 0::2] + 1)
         pairc = jnp.asarray(pairc_np.astype(np.int32).reshape(-1))

@@ -69,11 +69,18 @@ def main(n=300_000, kk=128):
         return (float(np.median(times)) - base) / R
 
     rows = []
-    for C in (4, 8, 16):
+    for C in (4,):
         t0 = time.time()
         op0, _ = BSRTile.from_scipy(L, chunk=C)
         build_s = time.time() - t0
         for prec in ("highest", "high", "bf16"):
+          for coal in (True, False):
+            # Same-session coalescing A/B (the env toggle is read at
+            # trace time inside bsr_spmm_pallas).
+            if coal:
+                os.environ.pop("EIGENPINNS_BSR_NO_COALESCE", None)
+            else:
+                os.environ["EIGENPINNS_BSR_NO_COALESCE"] = "1"
             op = op0.with_precision(prec)
             t = measure(op)
             flops = (2.0 * op.data.shape[0] * op.data.shape[1] * kk
@@ -83,13 +90,14 @@ def main(n=300_000, kk=128):
             moved = (strip_b                      # strips read
                      + op.n_chunks * op.chunk * 128 * kk * 4   # U gathers
                      + op.n_row_tiles * 128 * kk * 4)          # out write
-            rows.append((C, prec, t * 1e3, flops / t / 1e12,
+            rows.append((C, prec, coal, t * 1e3, flops / t / 1e12,
                          flops / t / peak, moved / t / 1e12))
-            print(f"C={C:2d} prec={prec:8s}: {t*1e3:7.2f} ms  "
+            print(f"C={C:2d} prec={prec:8s} coalesce={int(coal)}: "
+                  f"{t*1e3:7.2f} ms  "
                   f"{flops/t/1e12:5.1f} TF/s  MFU={flops/t/peak:.3f}  "
                   f"{moved/t/1e12:.3f} TB/s  (S={op.n_chunks}, "
                   f"build {build_s:.1f}s)")
-    print("\nbest:", min(rows, key=lambda r: r[2]))
+    print("\nbest:", min(rows, key=lambda r: r[3]))
 
 
 if __name__ == "__main__":
