@@ -24,9 +24,11 @@ C=4) and the MXU work with it (115 vs 167 GFLOP):
     indexes by rowid[s] (scalar prefetch), so consecutive chunks of one
     row tile ACCUMULATE into the same resident VMEM output block and
     Pallas flushes it when rowid changes.
-  * per chunk: a burst of C double-buffered gather DMAs assembles the
-    (C*T, k) U block in VMEM while the previous chunk's single
-    (T, C*T) x (C*T, k) MXU matmul runs.
+  * per chunk: a burst of C gather DMAs assembles the (C*T, k) U
+    block in VMEM through a depth-D prefetch ring (default 4: the
+    per-chunk matmul is shorter than the gather burst, so plain double
+    buffering leaves the MXU waiting) while earlier chunks' single
+    (T, C*T) x (C*T, k) MXU matmuls run.
 
 Replaces the reference's torch.sparse COO SpMV hot op
 (src/multigrid_model.py:306-322) at any N; supersedes rolling.py as
@@ -346,94 +348,53 @@ def bsr_spmm_pallas(A: BSRTile, U: jax.Array,
     n_rt = A.n_row_tiles
     # 1D: 2D SMEM scalar operands pad their minor dim to 128 and blow
     # the 1MB SMEM budget at a few thousand chunks.
-    cid_np = np.asarray(A.cid)
-    cid = jnp.asarray(cid_np.reshape(-1), jnp.int32)
+    cid = jnp.asarray(np.asarray(A.cid).reshape(-1), jnp.int32)
     rowid = jnp.asarray(np.asarray(A.rowid), jnp.int32)
-    # Pair coalescing: the kernel is DMA-gather-LATENCY bound (measured:
-    # time barely moves across 2x byte/FLOP changes), so halving the
-    # DMA count where adjacent slots hold CONSECUTIVE column tiles (a
-    # common pattern after RCM: ~76% of slot-(0,1) pairs at 300k) is
-    # the lever. Per pair: one 2T-row copy when contiguous, two T-row
-    # copies otherwise, branch driven by a precomputed scalar-prefetch
-    # flag. Only available with a host-side (static) layout.
+    # Gather pipelining: the kernel sits at ~0.41 TB/s — half the HBM
+    # roofline — and neither halving bytes (bf16 strips) nor halving
+    # DMA count (a 2-tile coalescing variant, A/B'd 2026-08-17: no
+    # effect, since removed) moves it proportionally. The per-step MXU
+    # matmul (~0.2 us) is SHORTER than the per-step gather burst
+    # (~0.3+ us), so the standard 2-slot double buffer leaves the MXU
+    # waiting on gathers. A deeper prefetch ring (depth D, issue step
+    # s+D-1's burst at step s) gives each burst D-1 matmul-times to
+    # land.
     import os
 
-    coalesce = (A.static_layout and C % 2 == 0
-                and not os.environ.get("EIGENPINNS_BSR_NO_COALESCE"))
-    if coalesce:
-        pairc_np = (cid_np[:, 1::2] == cid_np[:, 0::2] + 1)
-        pairc = jnp.asarray(pairc_np.astype(np.int32).reshape(-1))
-    else:
-        pairc = jnp.zeros((1,), jnp.int32)   # unused placeholder
+    D = int(os.environ.get("EIGENPINNS_BSR_PREFETCH_DEPTH", "4"))
+    D = max(2, min(D, max(S, 2)))
 
-    def kernel(cid_ref, rowid_ref, pairc_ref, strip_ref, u_ref, out_ref,
-               ubuf, sem):
+    def kernel(cid_ref, rowid_ref, strip_ref, u_ref, out_ref, ubuf, sem):
         s = pl.program_id(0)
         n_s = pl.num_programs(0)
 
-        def single_copy(slot, ss, j):
-            return pltpu.make_async_copy(
+        def copies(slot, ss):
+            return [pltpu.make_async_copy(
                 u_ref.at[pl.ds(cid_ref[ss * C + j] * T, T), :],
                 ubuf.at[slot, pl.ds(j * T, T), :],
-                sem.at[slot, j])
-
-        def pair_copy(slot, ss, j):
-            return pltpu.make_async_copy(
-                u_ref.at[pl.ds(cid_ref[ss * C + j] * T, 2 * T), :],
-                ubuf.at[slot, pl.ds(j * T, 2 * T), :],
-                sem.at[slot, j])
-
-        def start_copies(slot, ss):
-            if not coalesce:
-                for j in range(C):
-                    single_copy(slot, ss, j).start()
-                return
-            for j in range(0, C, 2):
-                contig = pairc_ref[ss * (C // 2) + j // 2] == 1
-
-                @pl.when(contig)
-                def _(slot=slot, ss=ss, j=j):
-                    pair_copy(slot, ss, j).start()
-
-                @pl.when(jnp.logical_not(contig))
-                def _(slot=slot, ss=ss, j=j):
-                    single_copy(slot, ss, j).start()
-                    single_copy(slot, ss, j + 1).start()
-
-        def wait_copies(slot, ss):
-            if not coalesce:
-                for j in range(C):
-                    single_copy(slot, ss, j).wait()
-                return
-            for j in range(0, C, 2):
-                contig = pairc_ref[ss * (C // 2) + j // 2] == 1
-
-                @pl.when(contig)
-                def _(slot=slot, ss=ss, j=j):
-                    pair_copy(slot, ss, j).wait()
-
-                @pl.when(jnp.logical_not(contig))
-                def _(slot=slot, ss=ss, j=j):
-                    single_copy(slot, ss, j).wait()
-                    single_copy(slot, ss, j + 1).wait()
+                sem.at[slot, j]) for j in range(C)]
 
         @pl.when(s == 0)
         def _():
-            start_copies(0, 0)
+            for ss in range(D - 1):
+                for c in copies(ss % D, ss):
+                    c.start()
 
-        @pl.when(s + 1 < n_s)
+        @pl.when(s + D - 1 < n_s)
         def _():
-            start_copies((s + 1) % 2, s + 1)
+            for c in copies((s + D - 1) % D, s + D - 1):
+                c.start()
 
-        wait_copies(s % 2, s)
+        for c in copies(s % D, s):
+            c.wait()
 
         if A.mxu_precision == "highest":
-            w = jnp.dot(strip_ref[:], ubuf[s % 2],
+            w = jnp.dot(strip_ref[:], ubuf[s % D],
                         precision=jax.lax.Precision.HIGHEST,
                         preferred_element_type=jnp.float32)
         elif A.mxu_precision == "bf16":
             # bf16-stored strips: one MXU pass, half the strip bytes.
-            w = jnp.dot(strip_ref[:], ubuf[s % 2].astype(jnp.bfloat16),
+            w = jnp.dot(strip_ref[:], ubuf[s % D].astype(jnp.bfloat16),
                         preferred_element_type=jnp.float32)
         else:
             # bf16x3 split product (Mosaic rejects Precision.HIGH inside
@@ -441,7 +402,7 @@ def bsr_spmm_pallas(A: BSRTile, U: jax.Array,
             a = strip_ref[:]
             ah = a.astype(jnp.bfloat16)
             al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
-            uv = ubuf[s % 2]
+            uv = ubuf[s % D]
             uh = uv.astype(jnp.bfloat16)
             ul = (uv - uh.astype(jnp.float32)).astype(jnp.bfloat16)
             w = (jnp.dot(ah, uh, preferred_element_type=jnp.float32)
@@ -462,17 +423,16 @@ def bsr_spmm_pallas(A: BSRTile, U: jax.Array,
             out_ref[:] = out_ref[:] + w.astype(out_ref.dtype)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=2,
         grid=(S,),
         in_specs=[
-            pl.BlockSpec((T, C * T), lambda s, cid, rowid, pairc: (s, 0)),
+            pl.BlockSpec((T, C * T), lambda s, cid, rowid: (s, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((T, k),
-                               lambda s, cid, rowid, pairc: (rowid[s], 0)),
+        out_specs=pl.BlockSpec((T, k), lambda s, cid, rowid: (rowid[s], 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, C * T, k), U.dtype),
-            pltpu.SemaphoreType.DMA((2, C)),
+            pltpu.VMEM((D, C * T, k), U.dtype),
+            pltpu.SemaphoreType.DMA((D, C)),
         ],
     )
     W_out = pl.pallas_call(
@@ -480,7 +440,7 @@ def bsr_spmm_pallas(A: BSRTile, U: jax.Array,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_rt * T, k), U.dtype),
         interpret=interpret,
-    )(cid, rowid, pairc, A.data, Up)
+    )(cid, rowid, A.data, Up)
     return W_out[: A.n, : k_orig]
 
 

@@ -74,13 +74,9 @@ def main(n=300_000, kk=128):
         op0, _ = BSRTile.from_scipy(L, chunk=C)
         build_s = time.time() - t0
         for prec in ("highest", "high", "bf16"):
-          for coal in (True, False):
-            # Same-session coalescing A/B (the env toggle is read at
-            # trace time inside bsr_spmm_pallas).
-            if coal:
-                os.environ.pop("EIGENPINNS_BSR_NO_COALESCE", None)
-            else:
-                os.environ["EIGENPINNS_BSR_NO_COALESCE"] = "1"
+          for depth in (2, 4, 8):
+            # Same-session prefetch-depth A/B (read at trace time).
+            os.environ["EIGENPINNS_BSR_PREFETCH_DEPTH"] = str(depth)
             op = op0.with_precision(prec)
             t = measure(op)
             flops = (2.0 * op.data.shape[0] * op.data.shape[1] * kk
@@ -90,9 +86,9 @@ def main(n=300_000, kk=128):
             moved = (strip_b                      # strips read
                      + op.n_chunks * op.chunk * 128 * kk * 4   # U gathers
                      + op.n_row_tiles * 128 * kk * 4)          # out write
-            rows.append((C, prec, coal, t * 1e3, flops / t / 1e12,
+            rows.append((C, prec, depth, t * 1e3, flops / t / 1e12,
                          flops / t / peak, moved / t / 1e12))
-            print(f"C={C:2d} prec={prec:8s} coalesce={int(coal)}: "
+            print(f"C={C:2d} prec={prec:8s} depth={depth}: "
                   f"{t*1e3:7.2f} ms  "
                   f"{flops/t/1e12:5.1f} TF/s  MFU={flops/t/peak:.3f}  "
                   f"{moved/t/1e12:.3f} TB/s  (S={op.n_chunks}, "
