@@ -53,6 +53,7 @@ def spectral_basis(
     tol: float = 2e-4,
     operators=None,
     operator_format: str = "bsr",
+    operator_precision: str = "highest",
     n_devices: int | None = None,
     mesh=None,
     checkpoint_dir: str = "",
@@ -75,6 +76,13 @@ def spectral_basis(
     the scipy permutation + banding — round 3, with device-side band
     assembly); 'split' solves in 193 s with no big compile and lower
     HBM (relevant only if ~9 GB residency is tight).
+
+    `operator_precision`: MXU passes for the solver's K-applies —
+    'highest' (default; f32, 6 bf16 passes) or 'high' (bf16x3 split
+    product, ~1e-6 operator rel err — far below any tol this driver is
+    used with; the LOBPCG orthogonalization/Rayleigh-Ritz arithmetic
+    stays f32-HIGHEST regardless). Measured at 1M x 50 (tol 2e-4):
+    same eigenvalue accuracy, see docs/PARITY.md.
 
     `n_devices`/`mesh`: run the blocked solve node-sharded over a
     `jax.sharding.Mesh` (solvers/lobpcg_sharded.py — halo-banded /
@@ -153,6 +161,9 @@ def spectral_basis(
         op, perm = SplitBanded.from_scipy(L, X=np.asarray(X),
                                           window=window)
         jax.block_until_ready(op.core.band)
+    if operator_precision != "highest" and hasattr(op, "with_precision"):
+        # strip-BSR only; SplitBanded has no reduced-precision variant.
+        op = op.with_precision(operator_precision)
     M_op = Diagonal(jnp.asarray(m_diag[perm], jnp.float32))
     timings["operator_s"] = time.time() - t0
 

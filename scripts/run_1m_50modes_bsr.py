@@ -1,6 +1,13 @@
-"""1M x 50 modes with the strip-BSR operator (vs 193 s SplitBanded)."""
+"""1M x 50 modes with the strip-BSR operator (vs 193 s SplitBanded).
+
+    python scripts/run_1m_50modes_bsr.py [highest|high|bf16]
+
+The optional arg sets the solver's K-apply MXU precision (the LOBPCG
+orthogonalization stays f32-HIGHEST regardless).
+"""
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -22,8 +29,11 @@ vals_o = np.load(os.path.join(CACHE, "oracle1m.npz"))["vals"]
 eigenpinns_tpu.warmup_transfer_async()
 print("cache loaded", flush=True)
 
+PREC = sys.argv[1] if len(sys.argv) > 1 else "highest"
 t0 = time.time()
 op, perm = BSRTile.from_scipy(L)
+if PREC != "highest":
+    op = op.with_precision(PREC)
 jax.block_until_ready(op.data)
 t_op = time.time() - t0
 print(f"BSR build+transfer {t_op:.1f}s  W={op.strip_w} "
@@ -43,7 +53,8 @@ vals, vecs, resids = lobpcg_blocked(
     X0_full=jnp.asarray(X0_full[perm]), log_fn=log_fn)
 t_solve = time.time() - t0
 rel = np.abs(vals[1:50] - vals_o[1:50]) / np.abs(vals_o[1:50])
-out = {"n": n, "k": 50, "operator_s": t_op, "solve_s": t_solve,
+out = {"n": n, "k": 50, "precision": PREC,
+       "operator_s": t_op, "solve_s": t_solve,
        "max_rel": float(rel.max()), "mean_rel": float(rel.mean()),
        "max_resid": float(resids.max())}
 print(json.dumps(out), flush=True)

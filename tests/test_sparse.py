@@ -546,3 +546,36 @@ def test_function_operator_dispatch(rng):
     assert len(leaves) == 1
     op2 = jax.tree_util.tree_unflatten(treedef, leaves)
     assert np.allclose(np.asarray(spmm(op2, U)), 3.0 * np.asarray(U))
+
+
+def test_bsr_prefetch_depths_match(rng):
+    """The depth-D gather ring produces identical results at every depth
+    (interpret mode; D=2 is plain double buffering)."""
+    import os
+
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+
+    from eigenpinns_tpu.sparse import BSRTile
+    from eigenpinns_tpu.sparse.bsr import bsr_spmm_pallas
+
+    n = 800
+    A = sp.random(n, n, density=0.02, random_state=3, format="csr")
+    A = A + A.T + sp.diags(np.ones(n))
+    op, perm = BSRTile.from_scipy(A)
+    U = jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32))
+    ref = A.tocsr()[perm][:, perm] @ np.asarray(U, np.float64)
+    outs = {}
+    key = "EIGENPINNS_BSR_PREFETCH_DEPTH"
+    old = os.environ.get(key)
+    try:
+        for d in (2, 3, 4, 8):
+            os.environ[key] = str(d)
+            outs[d] = np.asarray(bsr_spmm_pallas(op, U, interpret=True))
+    finally:
+        os.environ.pop(key, None)
+        if old is not None:
+            os.environ[key] = old
+    for d, W in outs.items():
+        assert np.abs(W - ref).max() < 1e-4, d
+        assert np.array_equal(W, outs[2]), d
