@@ -79,10 +79,13 @@ def spectral_basis(
 
     `operator_precision`: MXU passes for the solver's K-applies —
     'highest' (default; f32, 6 bf16 passes) or 'high' (bf16x3 split
-    product, ~1e-6 operator rel err — far below any tol this driver is
-    used with; the LOBPCG orthogonalization/Rayleigh-Ritz arithmetic
-    stays f32-HIGHEST regardless). Measured at 1M x 50 (tol 2e-4):
-    same eigenvalue accuracy, see docs/PARITY.md.
+    product; the LOBPCG orthogonalization/Rayleigh-Ritz arithmetic
+    stays f32-HIGHEST regardless). Measured at 1M x 50, tol 2e-4:
+    'high' solves only ~5% faster (98.5 s vs 103.3 s — the kernel is
+    gather-bound, not MXU-pass-bound) and the residual stalls at the
+    operator's bf16x3 noise floor: max rel eigenvalue err 1.3e-3 vs
+    3.1e-4. Hence the conservative default; 'high' is for tol >= 1e-2
+    screening passes only.
 
     `n_devices`/`mesh`: run the blocked solve node-sharded over a
     `jax.sharding.Mesh` (solvers/lobpcg_sharded.py — halo-banded /
