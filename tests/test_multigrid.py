@@ -303,3 +303,24 @@ def test_multigrid_sharded_banded_and_spectral(coarse1_mesh):
     l1s = np.asarray(r1s.history["loss"])
     l8s = np.asarray(r8s.history["loss"])
     assert (np.abs(l1s - l8s) / np.maximum(np.abs(l1s), 1e-9)).max() < 1e-3
+
+
+def test_cli_sharded_mesh_shape(tmp_path):
+    """`--override mesh_shape=[8]` runs the CLI pipeline through the
+    node-sharded multigrid loop end-to-end."""
+    from eigenpinns_tpu.io import read_vtu
+    from eigenpinns_tpu.main import cli
+
+    vtu = tmp_path / "out.vtu"
+    png = tmp_path / "diag.png"
+    cli([
+        "--override",
+        "mesh_file=/root/reference/resources/coarse_1.obj",
+        "n_modes=3", "hierarchy=[64,120]", "hidden_layers=[16,16]",
+        "epochs=20", "scan_chunk=10", "pc_neighbors=15",
+        f"vtu_file={vtu}", f"diagnostics_viz={png}",
+        "polish_iters=0", "mesh_shape=[8]",
+    ])
+    pts, tris, pd = read_vtu(str(vtu))
+    assert pts.shape[0] == 187
+    assert set(pd) == {"v0", "v1", "v2"}
