@@ -139,3 +139,39 @@ def test_eikonal_pinn_learned_encodings(sphere_mesh):
     assert corr_l > 0.995, metrics
     assert rms_l < 0.15, metrics
     assert rms_l < rms_e + 0.06, metrics
+
+
+@pytest.mark.slow
+def test_eikonal_pinn_on_reference_coil():
+    """The reference demo's ACTUAL geometry (Laplace-PINN-coil.ipynb,
+    data/coil_1.2_MM.obj): a coil whose geodesics only the
+    eigen-encodings can resolve. Exact encodings must track the
+    heat-method ground truth closely; whitened-joint-PINN LEARNED
+    encodings (the coil's clustered low spectrum defeats penalty-mode
+    training) must stay a usable drop-in. Measured: exact corr 0.9960,
+    learned corr 0.9345."""
+    from eigenpinns_tpu.geometry import load_mesh
+    from eigenpinns_tpu.solvers import solve_eikonal, train_joint
+    from eigenpinns_tpu.solvers.oracle import solve_eigenvalue_mesh
+    from eigenpinns_tpu.sparse import as_operator
+
+    mesh = load_mesh(
+        "/root/reference/delta_pinns_validation/data/coil_1.2_MM.obj")
+    y = heat_geodesics(mesh, [0])
+    assert y.max() > 10.0  # long-coil geodesics, not ambient distances
+    lam_ex, vecs, K, M = solve_eigenvalue_mesh(mesh, 20)
+    r = train_joint(as_operator(K), as_operator(M), mesh.verts,
+                    n_modes=20, hidden=(64, 64, 64), mode="whiten",
+                    w_trace=1.0, epochs=20000, seed=0)
+    # The whitened trainer recovers the clustered low spectrum.
+    rel = np.abs(r.eigenvalues[1:5] - lam_ex[1:5]) / np.abs(lam_ex[1:5])
+    assert rel.max() < 0.1, (r.eigenvalues[:5], lam_ex[:5])
+    metrics = {}
+    for name, basis in [("exact", np.asarray(vecs)),
+                        ("learned", r.eigenvectors)]:
+        res = solve_eikonal(mesh, eigen_positional_encoding(basis, 20),
+                            y, n_data=50, hidden=(100,), epochs=8000,
+                            element_batch=512, seed=0)
+        metrics[name] = np.corrcoef(res.u, y)[0, 1]
+    assert metrics["exact"] > 0.98, metrics
+    assert metrics["learned"] > 0.85, metrics
