@@ -196,7 +196,7 @@ def bench_large_n(n: int = 300_000, k: int = 20) -> dict:
     for prec in ("highest", "bf16"):
         op = K_op.with_precision(prec)
         t_spmm = measure_spmm(op)
-        strip_b = op.data.nbytes if prec != "bf16" else op.data.nbytes // 2
+        strip_b = op.data.nbytes   # already dtype-sized (bf16 = half)
         moved = (strip_b
                  + op.n_chunks * op.chunk * 128 * kk * 4   # U tile gathers
                  + op.n_row_tiles * 128 * kk * 4)          # output write

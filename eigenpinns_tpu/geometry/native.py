@@ -64,6 +64,25 @@ def _try_build() -> None:
                 pass
 
 
+def _bind(path):
+    lib = ctypes.CDLL(path)
+    c_d = ctypes.POINTER(ctypes.c_double)
+    c_i = ctypes.POINTER(ctypes.c_int64)
+    lib.epk_knn.restype = ctypes.c_int
+    lib.epk_knn.argtypes = [c_d, ctypes.c_int64, ctypes.c_int64, c_i]
+    lib.epk_fps.restype = ctypes.c_int
+    lib.epk_fps.argtypes = [c_d, ctypes.c_int64, ctypes.c_int64,
+                            ctypes.c_int64, c_i]
+    lib.epk_local_triangulations.restype = ctypes.c_int64
+    lib.epk_local_triangulations.argtypes = [
+        c_d, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, c_i]
+    lib.epk_delaunay_flips.restype = ctypes.c_int64
+    lib.epk_delaunay_flips.argtypes = [
+        c_d, ctypes.c_int64, c_i, c_d, c_d,
+        ctypes.c_int64, ctypes.c_int64]
+    return lib
+
+
 def load_native():
     """The loaded CDLL or None (cached)."""
     global _LIB, _LIB_TRIED
@@ -76,22 +95,20 @@ def load_native():
     if not os.path.exists(path):
         return None
     try:
-        lib = ctypes.CDLL(path)
-        c_d = ctypes.POINTER(ctypes.c_double)
-        c_i = ctypes.POINTER(ctypes.c_int64)
-        lib.epk_knn.restype = ctypes.c_int
-        lib.epk_knn.argtypes = [c_d, ctypes.c_int64, ctypes.c_int64, c_i]
-        lib.epk_fps.restype = ctypes.c_int
-        lib.epk_fps.argtypes = [c_d, ctypes.c_int64, ctypes.c_int64,
-                                ctypes.c_int64, c_i]
-        lib.epk_local_triangulations.restype = ctypes.c_int64
-        lib.epk_local_triangulations.argtypes = [
-            c_d, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, c_i]
-        lib.epk_delaunay_flips.restype = ctypes.c_int64
-        lib.epk_delaunay_flips.argtypes = [
-            c_d, ctypes.c_int64, c_i, c_d, c_d,
-            ctypes.c_int64, ctypes.c_int64]
-        _LIB = lib
+        _LIB = _bind(path)
+    except AttributeError:
+        # Stale build artifact from an older checkout (missing a newer
+        # entry point — ctypes raises AttributeError, not OSError):
+        # rebuild once and retry before giving up.
+        try:
+            os.remove(path)
+        except OSError:
+            pass
+        _try_build()
+        try:
+            _LIB = _bind(path) if os.path.exists(path) else None
+        except (OSError, AttributeError):
+            _LIB = None
     except OSError:
         _LIB = None
     return _LIB

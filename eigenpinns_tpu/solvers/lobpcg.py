@@ -207,15 +207,27 @@ def lobpcg_blocked(
     b0 = 0
 
     ckpt_path = None
+    fingerprint = ""
     if checkpoint_dir:
+        import hashlib
         import os
 
         os.makedirs(checkpoint_dir, exist_ok=True)
         ckpt_path = os.path.join(checkpoint_dir, "lobpcg_blocked.npz")
+        # Problem fingerprint: a same-shape checkpoint from a DIFFERENT
+        # operator/tolerance must not be resumed (it would be returned
+        # as the answer without a single solve iteration).
+        h = hashlib.sha1()
+        for op in (K, M):
+            d = np.asarray(op.diagonal(), np.float64)
+            h.update(d[:4096].tobytes())
+        h.update(np.float64([tol, guard, max_iter]).tobytes())
+        fingerprint = h.hexdigest()
         if os.path.exists(ckpt_path):
             z = np.load(ckpt_path)
             if (int(z["n"]) == n and int(z["k_total"]) == k_total
-                    and int(z["block"]) == block):
+                    and int(z["block"]) == block
+                    and str(z.get("fingerprint")) == fingerprint):
                 b0 = int(z["b0"])
                 if b0 > 0:
                     vals = [z["vals"]]
@@ -224,6 +236,13 @@ def lobpcg_blocked(
                     Y = jax.lax.dynamic_update_slice(
                         Y, jnp.asarray(z["vecs"], dtype), (0, 0))
                 key = jnp.asarray(z["key"], jnp.uint32)
+            else:
+                import warnings
+
+                warnings.warn(
+                    "lobpcg_blocked: ignoring checkpoint in "
+                    f"{checkpoint_dir} (different problem/settings)",
+                    stacklevel=2)
 
     def _save(b_next, key_next):
         import os
@@ -232,6 +251,7 @@ def lobpcg_blocked(
         fd, tmp = tempfile.mkstemp(dir=checkpoint_dir, suffix=".npz")
         os.close(fd)
         np.savez(tmp, n=n, k_total=k_total, block=block, b0=b_next,
+                 fingerprint=fingerprint,
                  vals=np.concatenate(vals),
                  vecs=np.concatenate(vecs, axis=1),
                  resids=np.concatenate(resids),
@@ -259,5 +279,13 @@ def lobpcg_blocked(
         b0 += keep
         if ckpt_path is not None:
             _save(b0, key)
+    if ckpt_path is not None:
+        # A finished sweep's checkpoint must not shadow the next run.
+        import os
+
+        try:
+            os.remove(ckpt_path)
+        except OSError:
+            pass
     return (np.concatenate(vals), np.concatenate(vecs, axis=1),
             np.concatenate(resids))

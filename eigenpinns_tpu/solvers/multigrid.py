@@ -199,6 +199,34 @@ class MultigridTrainer:
         offsets = h.node_offsets
         sizes = h.actual_hierarchy
 
+        # ---- distributed loop --------------------------------------
+        # Resolved BEFORE the single-device loss data is built: the
+        # sharded path supplies its own per-level layouts, so
+        # materializing the single-device operator copies (incl. the
+        # with_precision loss variants) would be pure wasted HBM at
+        # 300k+ scale.
+        repl_sharding = None
+        if mesh is None and n_devices is None and cfg.mesh_shape:
+            n_devices = int(np.prod(cfg.mesh_shape))
+        sharded = mesh is not None or n_devices is not None
+        if sharded:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from eigenpinns_tpu.parallel.mesh import make_mesh
+            from eigenpinns_tpu.solvers.multigrid_sharded import (
+                build_sharded_multigrid_loop,
+            )
+
+            if mesh is None:
+                mesh = make_mesh(n_devices)
+            data, loss_fn = build_sharded_multigrid_loop(
+                h, cfg, mesh, model, feats, U_base, lam_list[0],
+                graph_kind=cfg.model_type.lower())
+            repl_sharding = NamedSharding(mesh, P())
+            params = jax.device_put(params, repl_sharding)
+            opt_state = jax.device_put(opt_state, repl_sharding)
+            plateau_state = jax.device_put(plateau_state, repl_sharding)
+
         # Everything large travels as a jit ARGUMENT through the scan loop
         # (closure-captured arrays get baked into the executable: 2x HBM
         # and compile-payload blowups at scale — see train/loop docstring).
@@ -210,17 +238,18 @@ class MultigridTrainer:
                 return op.with_precision(cfg.loss_mxu_precision)
             return op
 
-        data = {
-            "feats": feats,
-            "U_base": U_base,
-            "graph": graph,
-            "lam_target": lam_list[0],
-            "K_ops": tuple(_loss_op(o) for o in h.K_ops),
-            "M_ops": tuple(_loss_op(o) for o in h.M_ops),
-            "Pt_ops": tuple(h.Pt_ops),
-        }
+        if not sharded:
+            data = {
+                "feats": feats,
+                "U_base": U_base,
+                "graph": graph,
+                "lam_target": lam_list[0],
+                "K_ops": tuple(_loss_op(o) for o in h.K_ops),
+                "M_ops": tuple(_loss_op(o) for o in h.M_ops),
+                "Pt_ops": tuple(h.Pt_ops),
+            }
 
-        def loss_fn(params, epoch, data):
+        def loss_fn_single(params, epoch, data):
             corr_raw = model.apply(params, data["feats"], data["graph"])
             ramp = jnp.minimum(1.0, epoch.astype(jnp.float32)
                                / float(cfg.scale_ramp_epochs))
@@ -269,27 +298,8 @@ class MultigridTrainer:
             }
             return total, metrics
 
-        # ---- distributed loop override --------------------------------
-        repl_sharding = None
-        if mesh is None and n_devices is None and cfg.mesh_shape:
-            n_devices = int(np.prod(cfg.mesh_shape))
-        if mesh is not None or n_devices is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            from eigenpinns_tpu.parallel.mesh import make_mesh
-            from eigenpinns_tpu.solvers.multigrid_sharded import (
-                build_sharded_multigrid_loop,
-            )
-
-            if mesh is None:
-                mesh = make_mesh(n_devices)
-            data, loss_fn = build_sharded_multigrid_loop(
-                h, cfg, mesh, model, feats, U_base, lam_list[0],
-                graph_kind=cfg.model_type.lower())
-            repl_sharding = NamedSharding(mesh, P())
-            params = jax.device_put(params, repl_sharding)
-            opt_state = jax.device_put(opt_state, repl_sharding)
-            plateau_state = jax.device_put(plateau_state, repl_sharding)
+        if not sharded:
+            loss_fn = loss_fn_single
 
         def step(state: MGState, epoch, data):
             (total, metrics), grads = jax.value_and_grad(

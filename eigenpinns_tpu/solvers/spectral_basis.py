@@ -142,6 +142,13 @@ def spectral_basis(
 
         from eigenpinns_tpu.solvers.lobpcg_sharded import lobpcg_sharded
 
+        if operator_precision != "highest":
+            import warnings
+
+            warnings.warn(
+                "operator_precision is not supported on the sharded "
+                "path (halo-banded ops run f32-HIGHEST); solving at "
+                "'highest'", stacklevel=2)
         t0 = time.time()
         vals, vecs, resids = lobpcg_sharded(
             L, sp.diags(m_diag).tocsr(), k, mesh=mesh,

@@ -296,10 +296,21 @@ class BSRTile:
         if with_transpose:
             d = (Ap - Ap.T).tocsr()
             if d.nnz and abs(d).max() > 1e-12 * max(abs(Ap).max(), 1e-300):
+                if pad_chunks_to is not None:
+                    # The transpose's chunk count generally differs from
+                    # the forward's, so a family-common pad for it would
+                    # need the family max over TRANSPOSES — not known
+                    # here. Explicit > silently breaking the
+                    # one-shared-executable property.
+                    raise NotImplementedError(
+                        "pad_chunks_to with a nonsymmetric operator: "
+                        "family padding of the transpose is not "
+                        "supported; pass with_transpose=False or use "
+                        "symmetric operators")
                 transpose = cls.from_scipy(
                     Ap.T.tocsr(), dtype=dtype, tile=tile, reorder=False,
                     with_transpose=False, static_layout=static_layout,
-                    chunk=C)[0]
+                    pad_rows_to=pad_rows_to, chunk=C)[0]
 
         op = cls(jnp.asarray(data), cid, rowid, nw, diag, n, n_cols, T,
                  transpose, "highest", static_layout)
@@ -348,8 +359,11 @@ def bsr_spmm_pallas(A: BSRTile, U: jax.Array,
     n_rt = A.n_row_tiles
     # 1D: 2D SMEM scalar operands pad their minor dim to 128 and blow
     # the 1MB SMEM budget at a few thousand chunks.
-    cid = jnp.asarray(np.asarray(A.cid).reshape(-1), jnp.int32)
-    rowid = jnp.asarray(np.asarray(A.rowid), jnp.int32)
+    # jnp (not np): with static_layout=False the layout tables are
+    # TRACED operands (spectral_basis_family's shared executable);
+    # np.asarray on a tracer raises TracerArrayConversionError.
+    cid = jnp.asarray(A.cid).reshape(-1).astype(jnp.int32)
+    rowid = jnp.asarray(A.rowid).astype(jnp.int32)
     # Gather pipelining: the kernel sits at ~0.41 TB/s — half the HBM
     # roofline — and neither halving bytes (bf16 strips) nor halving
     # DMA count (a 2-tile coalescing variant, A/B'd 2026-08-17: no

@@ -81,8 +81,7 @@ def main(n=300_000, kk=128):
             t = measure(op)
             flops = (2.0 * op.data.shape[0] * op.data.shape[1] * kk
                      + 2.0 * n * kk * kk)
-            strip_b = op.data.nbytes if prec != "bf16" else (
-                op.data.nbytes // 2)
+            strip_b = op.data.nbytes  # dtype-sized (bf16 = half)
             moved = (strip_b                      # strips read
                      + op.n_chunks * op.chunk * 128 * kk * 4   # U gathers
                      + op.n_row_tiles * 128 * kk * 4)          # out write
