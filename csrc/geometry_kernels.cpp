@@ -9,9 +9,10 @@
 //
 //   epk_knn                  grid-hashed k-nearest-neighbors
 //   epk_fps                  farthest-point sampling (exact, O(N*s))
-//   epk_local_triangulations tangent-plane Bowyer-Watson Delaunay
+//   epk_local_triangulations_v2  tangent-plane Bowyer-Watson Delaunay
 //                            one-rings per point (the point-cloud
-//                            Laplacian's triangle soup)
+//                            Laplacian's triangle soup; separate PCA
+//                            frame neighborhood k_frame)
 //
 // Exposed through a plain C ABI and loaded with ctypes
 // (eigenpinns_tpu/geometry/native.py). OpenMP-parallel where available.
@@ -340,34 +341,46 @@ int epk_fps(const double* pts, int64_t n, int64_t n_samples, int64_t start,
 }
 
 // Local tangent-plane Delaunay one-rings.
+// k_frame: neighbor count for the PCA tangent frame (may differ from
+// the triangulation neighborhood k_nbrs; <= 0 means "same"). The v2
+// symbol name exists so that a stale _native.so from before the
+// k_frame parameter fails to bind (AttributeError -> rebuild) instead
+// of silently misreading the argument list.
 // out_tris: caller-allocated (max_tris, 3) int64; returns count or -1.
-int64_t epk_local_triangulations(const double* pts, int64_t n,
-                                 int64_t k_nbrs, int64_t max_tris,
-                                 int64_t* out_tris) {
+int64_t epk_local_triangulations_v2(const double* pts, int64_t n,
+                                    int64_t k_nbrs, int64_t k_frame,
+                                    int64_t max_tris, int64_t* out_tris) {
   int64_t k = std::min(k_nbrs, n - 1);
   if (k < 2) return -1;
+  int64_t kf = (k_frame <= 0) ? k : std::min(k_frame, n - 1);
+  int64_t kq = std::max(k, kf);  // neighbors sorted by distance: prefixes
   Grid g = Grid::build(pts, n, 8);
   std::vector<std::vector<int64_t>> per_point(n);
 #ifdef _OPENMP
 #pragma omp parallel for schedule(dynamic, 32)
 #endif
   for (int64_t i = 0; i < n; ++i) {
-    std::vector<int64_t> nb(k);
-    knn_query(g, pts, n, pts + 3 * i, k, i, nb.data());
-    // Local set: self + neighbors.
+    std::vector<int64_t> nb(kq);
+    knn_query(g, pts, n, pts + 3 * i, kq, i, nb.data());
+    // Triangulation set: self + first k neighbors.
     std::vector<int64_t> loc;
     loc.push_back(i);
     for (int64_t j = 0; j < k; ++j)
       if (nb[j] >= 0) loc.push_back(nb[j]);
     int m = (int)loc.size();
     if (m < 3) continue;
-    // PCA frame from the neighborhood.
+    // PCA frame from self + first kf neighbors (mean-centered).
+    std::vector<int64_t> fset;
+    fset.push_back(i);
+    for (int64_t j = 0; j < kf; ++j)
+      if (nb[j] >= 0) fset.push_back(nb[j]);
+    int mf = (int)fset.size();
     double mean[3] = {0, 0, 0};
-    for (int64_t id : loc)
+    for (int64_t id : fset)
       for (int d = 0; d < 3; ++d) mean[d] += pts[3 * id + d];
-    for (int d = 0; d < 3; ++d) mean[d] /= m;
+    for (int d = 0; d < 3; ++d) mean[d] /= mf;
     double C[3][3] = {{0, 0, 0}, {0, 0, 0}, {0, 0, 0}};
-    for (int64_t id : loc) {
+    for (int64_t id : fset) {
       double v[3] = {pts[3 * id] - mean[0], pts[3 * id + 1] - mean[1],
                      pts[3 * id + 2] - mean[2]};
       for (int r = 0; r < 3; ++r)

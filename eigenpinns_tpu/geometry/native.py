@@ -73,9 +73,10 @@ def _bind(path):
     lib.epk_fps.restype = ctypes.c_int
     lib.epk_fps.argtypes = [c_d, ctypes.c_int64, ctypes.c_int64,
                             ctypes.c_int64, c_i]
-    lib.epk_local_triangulations.restype = ctypes.c_int64
-    lib.epk_local_triangulations.argtypes = [
-        c_d, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, c_i]
+    lib.epk_local_triangulations_v2.restype = ctypes.c_int64
+    lib.epk_local_triangulations_v2.argtypes = [
+        c_d, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, c_i]
     lib.epk_delaunay_flips.restype = ctypes.c_int64
     lib.epk_delaunay_flips.argtypes = [
         c_d, ctypes.c_int64, c_i, c_d, c_d,
@@ -155,23 +156,28 @@ def fps_native(points: np.ndarray, n_samples: int,
 
 
 def local_triangulations_native(points: np.ndarray,
-                                n_neighbors: int = 30) -> np.ndarray:
+                                n_neighbors: int = 30,
+                                frame_neighbors: int | None = None,
+                                ) -> np.ndarray:
     """Raw one-ring triangle soup (T, 3), NOT deduplicated — callers
-    dedup/count exactly like the Python path."""
+    dedup/count exactly like the Python path. ``frame_neighbors``
+    sizes the PCA tangent-frame neighborhood independently of the
+    triangulation neighborhood (None -> same)."""
     lib = load_native()
     if lib is None:
         raise RuntimeError("native library not built (make -C csrc)")
     pts = np.ascontiguousarray(points, dtype=np.float64)
     n = pts.shape[0]
+    kf = 0 if frame_neighbors is None else int(frame_neighbors)
     max_tris = 12 * n  # one-rings emit ~6 tris/point; generous headroom
     out = np.empty((max_tris, 3), dtype=np.int64)
-    cnt = lib.epk_local_triangulations(
-        _ptr_d(pts), n, n_neighbors, max_tris, _ptr_i(out))
+    cnt = lib.epk_local_triangulations_v2(
+        _ptr_d(pts), n, n_neighbors, kf, max_tris, _ptr_i(out))
     if cnt == -2:
         max_tris *= 4
         out = np.empty((max_tris, 3), dtype=np.int64)
-        cnt = lib.epk_local_triangulations(
-            _ptr_d(pts), n, n_neighbors, max_tris, _ptr_i(out))
+        cnt = lib.epk_local_triangulations_v2(
+            _ptr_d(pts), n, n_neighbors, kf, max_tris, _ptr_i(out))
     if cnt < 0:
         raise ValueError(f"epk_local_triangulations failed ({cnt})")
     return out[:cnt]

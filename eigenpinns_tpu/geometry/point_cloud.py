@@ -45,7 +45,8 @@ def _tangent_frames(points: np.ndarray, neigh: np.ndarray):
 
 
 def local_triangulations(points: np.ndarray, n_neighbors: int = 30,
-                         return_weights: bool = False):
+                         return_weights: bool = False,
+                         frame_neighbors: int | None = None):
     """One-ring triangles from per-point tangent-plane Delaunay triangulations.
 
     Returns a deduplicated (T, 3) int array of global vertex triples; with
@@ -56,16 +57,25 @@ def local_triangulations(points: np.ndarray, n_neighbors: int = 30,
     suppresses outlier connections and normalizes the soup's total area to
     approximately one surface cover (the role played by the tufted-cover
     construction in Sharp & Crane 2020).
+
+    ``frame_neighbors`` sizes the PCA tangent-frame neighborhood
+    independently of the triangulation neighborhood (None -> same).
+    The two knobs act differently: the frame wants just enough points
+    for a stable plane (too many smears it across curvature — measured
+    blowing up bunny mode 2 by 8-15% at 60-80 neighbors), while the
+    triangulation wants enough projected points that the center's
+    Delaunay one-ring is interior to the patch.
     """
     n = points.shape[0]
     k = min(n_neighbors, n - 1)
+    kf = k if frame_neighbors is None else min(frame_neighbors, n - 1)
     tree = cKDTree(points)
-    _, neigh = tree.query(points, k=k + 1)  # includes self at column 0
-    e1, e2 = _tangent_frames(points, neigh)
+    _, neigh = tree.query(points, k=max(k, kf) + 1)  # self at column 0
+    e1, e2 = _tangent_frames(points, neigh[:, :kf + 1])
 
     tris = []
     for i in range(n):
-        idx = neigh[i]  # local->global map; idx[0] == i
+        idx = neigh[i, :k + 1]  # local->global map; idx[0] == i
         rel = points[idx] - points[i]
         uv = np.stack([rel @ e1[i], rel @ e2[i]], axis=1)
         try:
@@ -364,7 +374,7 @@ def cotan_laplacian_from_soup(
 
 def point_cloud_laplacian(
     points: np.ndarray, n_neighbors: int = 38, mollify_factor: float = 1e-5,
-    use_native: bool | None = None,
+    use_native: bool | None = None, frame_neighbors: int | None = None,
 ):
     """(L, M) for a raw point cloud — drop-in for
     `robust_laplacian.point_cloud_laplacian` (src/utils.py:174).
@@ -373,21 +383,27 @@ def point_cloud_laplacian(
     `use_native=None` auto-selects the C++ triangulation kernel
     (csrc/geometry_kernels.cpp, ~10x the Python path) when built.
 
-    Default n_neighbors=38 (the C++ library's own default is 30): tuned
-    against the reference's recorded bunny ground truth — this
-    construction at kn=30 carries a uniform +2.2% eigenvalue bias vs
-    the C++ output, and kn=38 with the intrinsic-Delaunay flip pass
-    lands at mean 1.2% / max 2.6% (docs/PARITY.md has the full tuning
-    ledger: weighting schemes, flip ablation, kn scan).
+    Defaults (n_neighbors=38, PCA frame over min(n_neighbors, 34); the
+    C++ library's own single knob defaults to 30): tuned against the
+    reference's recorded bunny ground truth — this construction at
+    kn=30 carries a uniform +2.2% eigenvalue bias vs the C++ output;
+    decoupling the two neighborhoods and scanning both shows a smooth
+    optimum at (frames 34, triangulation 38) which, with the
+    intrinsic-Delaunay flip pass, lands at mean 0.93% / max 1.82%
+    (docs/PARITY.md has the full tuning ledger: weighting schemes, flip
+    ablation, 2-D kn scan, PCA-centering variants).
     """
     points = np.asarray(points, dtype=np.float64)
+    if frame_neighbors is None:
+        frame_neighbors = min(n_neighbors, 34)
     from eigenpinns_tpu.geometry import native as _native
 
     if use_native is None:
         use_native = _native.available()
     if use_native:
         soup = _native.local_triangulations_native(
-            points, n_neighbors=n_neighbors)
+            points, n_neighbors=n_neighbors,
+            frame_neighbors=frame_neighbors)
         key = np.sort(soup, axis=1)
         _, uniq, counts = np.unique(key, axis=0, return_index=True,
                                     return_counts=True)
@@ -396,7 +412,8 @@ def point_cloud_laplacian(
         weights = np.minimum(counts[order].astype(np.float64) / 3.0, 1.0)
     else:
         tris, weights = local_triangulations(
-            points, n_neighbors=n_neighbors, return_weights=True)
+            points, n_neighbors=n_neighbors, return_weights=True,
+            frame_neighbors=frame_neighbors)
     return cotan_laplacian_from_soup(points, tris, mollify_factor,
                                      tri_weights=weights)
 

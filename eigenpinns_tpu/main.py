@@ -81,9 +81,10 @@ def cli(argv=None) -> None:
     ap.add_argument("--config", default=None,
                     help="sectioned YAML config (reference parameters.yml "
                          "format); defaults apply when omitted")
-    ap.add_argument("--override", nargs="*", default=[],
+    ap.add_argument("--override", nargs="*", default=[], action="extend",
                     metavar="KEY=VALUE",
-                    help="config overrides, e.g. n_modes=10 epochs=2000")
+                    help="config overrides, e.g. n_modes=10 epochs=2000; "
+                         "repeated --override flags accumulate")
     args = ap.parse_args(argv)
 
     config = Config.from_yaml(args.config) if args.config else Config()

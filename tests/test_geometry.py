@@ -115,13 +115,14 @@ def test_bunny_ground_truth_eigenvalues(bunny_mesh):
     )
     assert abs(vals[0]) < 1e-6
     rel = np.abs(vals[1:] - expected[1:]) / expected[1:]
-    # Tuned construction (kn=38 one-ring union, count/3 weights,
-    # intrinsic Delaunay flips): measured mean 1.22% / max 2.57% vs the
-    # recorded C++ robust_laplacian values (docs/PARITY.md has the
-    # tuning ledger). Bounds set so a regression to the old +2.2%
-    # uniform bias (max 4.2%) fails.
-    assert rel.mean() < 0.018, f"mean rel {rel.mean()}, {rel}"
-    assert rel.max() < 0.033, f"rel errors {rel}"
+    # Tuned construction (triangulation kn=38, PCA frames over 34,
+    # count/3 weights, intrinsic Delaunay flips): measured mean 0.93% /
+    # max 1.82% vs the recorded C++ robust_laplacian values
+    # (docs/PARITY.md has the tuning ledger). Bounds set so a
+    # regression to the single-knob kn=38 state (mean 1.22% / max
+    # 2.57%) fails.
+    assert rel.mean() < 0.012, f"mean rel {rel.mean()}, {rel}"
+    assert rel.max() < 0.022, f"rel errors {rel}"
 
 
 def test_native_kernels_match_python(bunny_mesh):
