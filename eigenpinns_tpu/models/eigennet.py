@@ -24,13 +24,15 @@ class JointEigenNet(nn.Module):
     hidden: Sequence[int]
     n_modes: int
     activation: str = "silu"
+    compute_dtype: str | None = None  # see MLP.compute_dtype
 
     @nn.compact
     def __call__(self, x):
         from eigenpinns_tpu.models.mlp import MLP
 
         return MLP(tuple(self.hidden), self.n_modes,
-                   activation=self.activation)(x)
+                   activation=self.activation,
+                   compute_dtype=self.compute_dtype)(x)
 
 
 class LambdaEigenNet(nn.Module):

@@ -45,17 +45,27 @@ class MLP(nn.Module):
     dropout: float = 0.0
     small_output_init: bool = False
     first_layer_omega: float = 1.0  # SIREN-style input scaling for sin nets
+    # Matmul/activation compute dtype (params stay f32). 'bfloat16' puts
+    # the hidden layers on the MXU's bf16 path — at 300k nodes the MLP
+    # fwd+bwd is compute-bound, so this is a large step-time lever; the
+    # f32 output head is restored by the final cast.
+    compute_dtype: str | None = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         act = ACTIVATIONS[self.activation]
+        dt = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
+        in_dtype = x.dtype
+        if dt is not None:
+            x = x.astype(dt)
         for i, h in enumerate(self.hidden):
-            x = nn.Dense(h, name=f"hidden_{i}")(x)
+            x = nn.Dense(h, name=f"hidden_{i}", dtype=dt)(x)
             x = act(self.first_layer_omega * x) if (
                 i == 0 and self.activation == "sin") else act(x)
             if self.dropout > 0.0:
                 x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
         kernel_init = (small_init() if self.small_output_init
                        else nn.initializers.lecun_normal())
-        return nn.Dense(self.out_dim, name="out", kernel_init=kernel_init,
-                        bias_init=nn.initializers.zeros)(x)
+        out = nn.Dense(self.out_dim, name="out", kernel_init=kernel_init,
+                       bias_init=nn.initializers.zeros, dtype=dt)(x)
+        return out.astype(in_dtype)

@@ -76,6 +76,7 @@ def train_joint(
     rayleigh_ritz_finish: bool = True,
     batch_nodes: int = 0,
     loss_mxu_precision: str = "high",
+    mlp_compute_dtype: str | None = None,
     log_fn=None,
     log_every: int = 0,
 ) -> DirectResult:
@@ -100,7 +101,8 @@ def train_joint(
         raise ValueError("batch_nodes requires mode='penalty'")
 
     X = jnp.asarray(X, dtype=jnp.float32)
-    model = JointEigenNet(tuple(hidden), n_modes, activation=activation)
+    model = JointEigenNet(tuple(hidden), n_modes, activation=activation,
+                          compute_dtype=mlp_compute_dtype)
     params = model.init(jax.random.PRNGKey(seed), X)
     schedule = optax.exponential_decay(lr_start, epochs,
                                        lr_end / lr_start)

@@ -21,6 +21,7 @@ from eigenpinns_tpu.sparse.split import (
     split_spmm,
     split_spmm_gram,
     spatial_cluster_order,
+    hilbert_order,
 )
 from eigenpinns_tpu.sparse.bsr import (
     BSRTile,
@@ -55,6 +56,7 @@ __all__ = [
     "rolling_spmm_pallas", "rolling_spmm_gram_pallas",
     "rolling_spmm_reference",
     "SplitBanded", "split_spmm", "split_spmm_gram", "spatial_cluster_order",
+    "hilbert_order",
     "BSRTile", "bsr_spmm", "bsr_spmm_gram", "bsr_spmm_pallas",
     "bsr_spmm_reference",
     "hdot", "spmm", "spmm_gram", "spmv", "gram", "m_gram", "rayleigh_quotients",

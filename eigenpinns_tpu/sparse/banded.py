@@ -337,7 +337,12 @@ def banded_spmm_gram_pallas(A: BandedELL, U: jax.Array,
             window_dma((t + 1) % 2, t + 1).start()
 
         window_dma(t % 2, t).wait()
-        w = jnp.dot(band_ref[:], scratch[t % 2],
+        # Mosaic requires matching operand dtypes: with a bf16-stored
+        # band (loss-grade split cores), cast the window to bf16 in
+        # registers and accumulate in f32 (same convention as rolling.py).
+        rhs = (scratch[t % 2].astype(jnp.bfloat16)
+               if band_ref.dtype == jnp.bfloat16 else scratch[t % 2])
+        w = jnp.dot(band_ref[:], rhs,
                     precision=jax.lax.Precision.HIGHEST,
                     preferred_element_type=jnp.float32)
         out_ref[:] = w.astype(out_ref.dtype)
@@ -421,8 +426,10 @@ def banded_spmm_pallas(A: BandedELL, U: jax.Array,
             window_dma((t + 1) % 2, t + 1).start()
 
         window_dma(t % 2, t).wait()
+        rhs = (scratch[t % 2].astype(jnp.bfloat16)
+               if band_ref.dtype == jnp.bfloat16 else scratch[t % 2])
         out_ref[:] = jnp.dot(
-            band_ref[:], scratch[t % 2],
+            band_ref[:], rhs,
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32).astype(out_ref.dtype)
 

@@ -34,6 +34,54 @@ from eigenpinns_tpu.sparse.formats import SparseELL
 from eigenpinns_tpu.sparse.ops import spmm as _ell_dispatch_spmm
 
 
+def hilbert_order(X: np.ndarray, bits: int = 16) -> np.ndarray:
+    """Permutation sorting points along a 3D Hilbert curve.
+
+    For surface-sampled clouds this is a stronger locality ordering than
+    global RCM: measured on the 300k bench cloud, RCM leaves bandwidth
+    W=3491 while the Hilbert ordering puts the median kNN-neighbor index
+    spread at ~3 with a short tail — so a capped banded core (window 512)
+    captures ~98% of nnz at ~4x fewer band bytes than the RCM band.
+    Vectorized Skilling transform (transpose-to-axes inverse): Gray
+    decode + per-bit exchange/invert, then bit interleave.
+    """
+    X = np.asarray(X, dtype=np.float64)
+    Xq = X - X.min(0)
+    scale = Xq.max()
+    if scale <= 0:
+        return np.arange(X.shape[0], dtype=np.int64)
+    Xq = (Xq / scale * ((1 << bits) - 1)).astype(np.uint64)
+    c = Xq.T.copy()  # (3, N) axis-major coordinates
+    n_ax = 3
+    top = np.uint64(1) << np.uint64(bits - 1)
+    q = top
+    while q > np.uint64(1):
+        p = q - np.uint64(1)
+        for i in range(n_ax):
+            mask = (c[i] & q) > 0
+            c[0][mask] ^= p
+            t = (c[0] ^ c[i]) & p
+            c[0][~mask] ^= t[~mask]
+            c[i][~mask] ^= t[~mask]
+        q >>= np.uint64(1)
+    for i in range(1, n_ax):
+        c[i] ^= c[i - 1]
+    t = np.zeros(c.shape[1], dtype=np.uint64)
+    q = top
+    while q > np.uint64(1):
+        mask = (c[n_ax - 1] & q) > 0
+        t[mask] ^= q - np.uint64(1)
+        q >>= np.uint64(1)
+    for i in range(n_ax):
+        c[i] ^= t
+    key = np.zeros(c.shape[1], dtype=np.uint64)
+    for b in range(bits - 1, -1, -1):
+        for i in range(n_ax):
+            key = (key << np.uint64(1)) | ((c[i] >> np.uint64(b))
+                                           & np.uint64(1))
+    return np.argsort(key, kind="stable")
+
+
 def spatial_cluster_order(X: np.ndarray, n_clusters: int,
                           adjacency=None) -> np.ndarray:
     """Permutation grouping nodes into spatially contiguous clusters.
@@ -117,13 +165,18 @@ class SplitBanded:
     @classmethod
     def from_scipy(cls, A, X: np.ndarray | None = None,
                    dtype=jnp.float32, tile: int = 128,
-                   window: int = 1024, n_clusters: int | None = None):
+                   window: int = 1024, n_clusters: int | None = None,
+                   order: str | np.ndarray = "cluster"):
         """Decompose a (pre-permutation) operator.
 
-        When X is given, a cluster ordering is computed first and the
+        When X is given, a locality ordering is computed first and the
         returned perm must be applied to all node data. `window` caps the
         banded core's width; everything outside lands in the remainder.
-        Returns (op, perm).
+        `order` picks the ordering: 'cluster' (FPS centers + per-cluster
+        RCM — the 1M spectral-basis default), 'hilbert' (space-filling
+        curve; tighter windows on surface clouds, so it pairs with small
+        `window` for training operators), or an explicit permutation
+        array. Without X, falls back to global RCM. Returns (op, perm).
         """
         import scipy.sparse as sp
 
@@ -141,7 +194,16 @@ class SplitBanded:
                 f"(max |A - A^T| = {abs(d).max():.3g}); use "
                 "SparseELL/BandedELL.from_scipy, which attach an explicit "
                 "transpose for the VJP")
-        if X is not None:
+        if isinstance(order, np.ndarray):
+            perm = np.asarray(order, dtype=np.int64)
+            if perm.shape != (n,):
+                raise ValueError(
+                    f"explicit order has shape {perm.shape}, expected ({n},)")
+        elif X is not None and order == "hilbert":
+            perm = hilbert_order(np.asarray(X))
+        elif X is not None:
+            if order != "cluster":
+                raise ValueError(f"unknown order {order!r}")
             if n_clusters is None:
                 n_clusters = max(1, int(np.ceil(n / max(window * 24, 1))))
                 n_clusters = max(n_clusters, int(np.ceil(n / 100_000)))
@@ -187,7 +249,11 @@ class SplitBanded:
                 (coo.data[~in_band],
                  (coo.row[~in_band], coo.col[~in_band])),
                 shape=(n, n)).tocsr()
-            remainder = SparseELL.from_scipy(rem, dtype=dtype)
+            # The remainder is tiny (a few % of nnz) — keep it f32 even
+            # for bf16 cores; its accuracy is free.
+            rem_dtype = (jnp.float32 if jnp.dtype(dtype) == jnp.bfloat16
+                         else dtype)
+            remainder = SparseELL.from_scipy(rem, dtype=rem_dtype)
         return cls(core, remainder), perm
 
     @property

@@ -209,3 +209,36 @@ def test_partial_weight_copy(rng):
     assert np.allclose(k_m[4:], k_new[4:])      # fresh rows retained
     assert np.allclose(np.asarray(merged["params"]["out"]["kernel"]),
                        np.asarray(old["params"]["out"]["kernel"]))
+
+
+def test_mlp_bf16_compute_dtype(rng):
+    """compute_dtype='bfloat16' keeps params f32 and output f32, shares
+    the param pytree with the f32 model, and stays within bf16 rounding
+    of the f32 forward (the 300k training step's MXU lever)."""
+    import jax
+
+    from eigenpinns_tpu.models import MLP
+
+    X = jnp.asarray(rng.normal(size=(64, 3)).astype(np.float32))
+    m32 = MLP((32, 32), 4)
+    m16 = MLP((32, 32), 4, compute_dtype="bfloat16")
+    params = m32.init(jax.random.PRNGKey(0), X)
+    # identical param structure: bf16 model applies f32 params directly
+    y32 = m32.apply(params, X)
+    y16 = m16.apply(params, X)
+    assert y16.dtype == jnp.float32
+    assert jax.tree.map(lambda p: p.dtype,
+                        m16.init(jax.random.PRNGKey(0), X)) == \
+        jax.tree.map(lambda p: p.dtype, params)
+    scale = float(jnp.abs(y32).max())
+    assert float(jnp.abs(y16 - y32).max()) / scale < 0.05
+    # gradients flow (bf16 bwd) and are finite, close in direction
+    def loss(m):
+        return lambda p: jnp.sum(m.apply(p, X) ** 2)
+    g32 = jax.grad(loss(m32))(params)
+    g16 = jax.grad(loss(m16))(params)
+    flat32 = jnp.concatenate([a.ravel() for a in jax.tree.leaves(g32)])
+    flat16 = jnp.concatenate([a.ravel() for a in jax.tree.leaves(g16)])
+    cos = jnp.vdot(flat32, flat16) / (
+        jnp.linalg.norm(flat32) * jnp.linalg.norm(flat16))
+    assert float(cos) > 0.99

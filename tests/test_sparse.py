@@ -579,3 +579,140 @@ def test_bsr_prefetch_depths_match(rng):
     for d, W in outs.items():
         assert np.abs(W - ref).max() < 1e-4, d
         assert np.array_equal(W, outs[2]), d
+
+
+def test_hilbert_order_locality_and_validity(rng):
+    """hilbert_order is a valid permutation whose kNN index spread is far
+    tighter than the input ordering's on a surface cloud — the property
+    the split-banded training operator's small-window core relies on."""
+    from eigenpinns_tpu.sampling import knn_graph
+    from eigenpinns_tpu.sparse import hilbert_order
+
+    n = 4000
+    X = rng.normal(size=(n, 3))
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    perm = hilbert_order(X)
+    assert sorted(perm.tolist()) == list(range(n))  # valid permutation
+
+    inv = np.empty(n, dtype=np.int64)
+    inv[perm] = np.arange(n)
+    rows, cols = knn_graph(X, 8)
+    spread_before = np.abs(cols - rows)
+    spread_after = np.abs(inv[cols] - inv[rows])
+    assert np.median(spread_after) < np.median(spread_before) / 10
+    assert np.median(spread_after) < 64
+
+
+def test_split_banded_hilbert_and_explicit_order(rng):
+    """order='hilbert' and an explicit permutation reproduce A exactly,
+    and hilbert leaves less remainder than a window-starved cluster
+    ordering at the same small window."""
+    import jax.numpy as jnp
+
+    from eigenpinns_tpu.geometry import point_cloud_laplacian
+    from eigenpinns_tpu.sparse import SplitBanded, hilbert_order, spmm
+
+    X = rng.normal(size=(900, 3))
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    L, _ = point_cloud_laplacian(X, n_neighbors=12)
+    U = rng.normal(size=(900, 5)).astype(np.float32)
+
+    op_h, perm_h = SplitBanded.from_scipy(L, X=X, window=128,
+                                          order="hilbert")
+    Lp = L.tocsr()[perm_h][:, perm_h]
+    ref = Lp @ np.asarray(U, np.float64)
+    out = np.asarray(spmm(op_h, jnp.asarray(U)))
+    assert np.abs(out - ref).max() / np.abs(ref).max() < 1e-5
+
+    # explicit permutation array round-trips identically
+    op_e, perm_e = SplitBanded.from_scipy(L, X=X, window=128,
+                                          order=hilbert_order(X))
+    assert np.array_equal(perm_h, perm_e)
+    out_e = np.asarray(spmm(op_e, jnp.asarray(U)))
+    assert np.array_equal(out, out_e)
+
+    op_c, _ = SplitBanded.from_scipy(L, X=X, window=128, n_clusters=2)
+    assert (op_h.remainder_nnz_fraction
+            <= op_c.remainder_nnz_fraction + 1e-12)
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="unknown order"):
+        SplitBanded.from_scipy(L, X=X, order="zorder")
+    with _pt.raises(ValueError, match="explicit order"):
+        SplitBanded.from_scipy(L, X=X, order=np.arange(10))
+
+
+def test_split_banded_bf16_core_f32_remainder(rng):
+    """dtype=bfloat16 stores only the core band in bf16 (the remainder
+    stays f32), and spmm matches the mixed-precision reference."""
+    import jax.numpy as jnp
+    import ml_dtypes
+
+    from eigenpinns_tpu.geometry import point_cloud_laplacian
+    from eigenpinns_tpu.sparse import SplitBanded, spmm
+
+    X = rng.normal(size=(700, 3))
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    L, _ = point_cloud_laplacian(X, n_neighbors=12)
+    op, perm = SplitBanded.from_scipy(L, X=X, window=128, order="hilbert",
+                                      dtype=jnp.bfloat16)
+    assert op.core.band.dtype == jnp.bfloat16
+    assert op.remainder is not None
+    assert op.remainder.values.dtype == jnp.float32
+
+    # Mixed reference built from the op itself: densify the bf16 core
+    # band (rounded values) + the f32 remainder.
+    n = op.n
+    band = np.asarray(op.core.band, np.float64)[:n]
+    starts = np.asarray(op.core.starts)
+    dense = np.zeros((n, n))
+    for i in range(n):
+        s = int(starts[i // op.core.tile])
+        w = min(band.shape[1], n - s)
+        dense[i, s:s + w] = band[i, :w]
+    rem = op.remainder.to_scipy().toarray().astype(np.float64)
+    U = rng.normal(size=(700, 5)).astype(np.float32)
+    out = np.asarray(spmm(op, jnp.asarray(U)), np.float64)
+    ref = (dense + rem) @ np.asarray(U, np.float64)
+    scale = np.abs(ref).max()
+    assert np.abs(out - ref).max() / scale < 2e-3
+    # and the mixed op is itself close to the exact operator
+    Lp = L.tocsr()[perm][:, perm].toarray()
+    assert np.abs(dense + rem - Lp).max() / np.abs(Lp).max() < 1e-2
+
+
+def test_banded_pallas_bf16_band(rng):
+    """The banded Pallas kernels accept a bf16-stored band (interpret
+    mode): rhs is cast to bf16 in-kernel and accumulated in f32."""
+    import jax.numpy as jnp
+    import ml_dtypes
+    import scipy.sparse as sp
+
+    from eigenpinns_tpu.sparse import BandedELL
+    from eigenpinns_tpu.sparse.banded import (
+        banded_spmm_gram_pallas,
+        banded_spmm_pallas,
+    )
+
+    n, k = 300, 8
+    K = sp.diags([-1.0, -0.5, 2.9, -0.5, -1.0], [-2, -1, 0, 1, 2],
+                 shape=(n, n)).tocsr()
+    op, perm = BandedELL.from_scipy(K, dtype=jnp.bfloat16)
+    assert op.band.dtype == jnp.bfloat16
+    Kp = (K[perm][:, perm]).toarray()
+    Kb = Kp.astype(ml_dtypes.bfloat16).astype(np.float64)
+    U = rng.normal(size=(n, k)).astype(np.float32)
+    Ub = np.asarray(U, np.float64).astype(ml_dtypes.bfloat16).astype(
+        np.float64)
+    W_ref = Kb @ Ub
+    scale = np.abs(W_ref).max()
+
+    W = np.asarray(banded_spmm_pallas(op, jnp.asarray(U), interpret=True),
+                   np.float64)
+    assert np.abs(W - W_ref).max() / scale < 2e-2
+
+    W2, G2 = banded_spmm_gram_pallas(op, jnp.asarray(U), interpret=True)
+    G_ref = np.asarray(U, np.float64).T @ W_ref
+    assert np.abs(np.asarray(W2, np.float64) - W_ref).max() / scale < 2e-2
+    assert (np.abs(np.asarray(G2, np.float64) - G_ref).max()
+            / np.abs(G_ref).max() < 2e-2)
