@@ -154,6 +154,7 @@ def train_joint_sharded(
     window: int = 1024,
     seed: int = 0,
     rayleigh_ritz_finish: bool = True,
+    mlp_compute_dtype: str | None = None,
     problem: ShardedProblem | None = None,
     checkpoint_dir: str = "",
     checkpoint_every_chunks: int = 10,
@@ -187,7 +188,8 @@ def train_joint_sharded(
         "mask": jax.device_put(jnp.asarray(mask_p), shard),
     }
 
-    model = JointEigenNet(tuple(hidden), n_modes, activation=activation)
+    model = JointEigenNet(tuple(hidden), n_modes, activation=activation,
+                          compute_dtype=mlp_compute_dtype)
     params = jax.device_put(
         model.init(jax.random.PRNGKey(seed), jnp.asarray(X_p[:8])), repl)
     schedule = optax.exponential_decay(lr_start, epochs, lr_end / lr_start)

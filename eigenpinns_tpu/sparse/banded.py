@@ -337,14 +337,18 @@ def banded_spmm_gram_pallas(A: BandedELL, U: jax.Array,
             window_dma((t + 1) % 2, t + 1).start()
 
         window_dma(t % 2, t).wait()
-        # Mosaic requires matching operand dtypes: with a bf16-stored
-        # band (loss-grade split cores), cast the window to bf16 in
-        # registers and accumulate in f32 (same convention as rolling.py).
-        rhs = (scratch[t % 2].astype(jnp.bfloat16)
-               if band_ref.dtype == jnp.bfloat16 else scratch[t % 2])
-        w = jnp.dot(band_ref[:], rhs,
-                    precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32)
+        # Mosaic requires matching operand dtypes — and rejects
+        # Precision.HIGHEST on bf16 operands. With a bf16-stored band
+        # (loss-grade split cores), cast the window to bf16 in registers,
+        # use the plain one-pass MXU dot, accumulate in f32 (same
+        # convention as rolling.py's bf16 branch).
+        if band_ref.dtype == jnp.bfloat16:
+            w = jnp.dot(band_ref[:], scratch[t % 2].astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+        else:
+            w = jnp.dot(band_ref[:], scratch[t % 2],
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32)
         out_ref[:] = w.astype(out_ref.dtype)
         g = jnp.dot(u_tile_ref[:].astype(jnp.float32).T, w,
                     precision=jax.lax.Precision.HIGHEST,
@@ -426,12 +430,14 @@ def banded_spmm_pallas(A: BandedELL, U: jax.Array,
             window_dma((t + 1) % 2, t + 1).start()
 
         window_dma(t % 2, t).wait()
-        rhs = (scratch[t % 2].astype(jnp.bfloat16)
-               if band_ref.dtype == jnp.bfloat16 else scratch[t % 2])
-        out_ref[:] = jnp.dot(
-            band_ref[:], rhs,
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32).astype(out_ref.dtype)
+        if band_ref.dtype == jnp.bfloat16:
+            w = jnp.dot(band_ref[:], scratch[t % 2].astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+        else:
+            w = jnp.dot(band_ref[:], scratch[t % 2],
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32)
+        out_ref[:] = w.astype(out_ref.dtype)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

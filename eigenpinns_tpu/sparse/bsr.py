@@ -142,6 +142,10 @@ class BSRTile:
         data = self.data
         if precision == "bf16" and data.dtype != jnp.bfloat16:
             data = data.astype(jnp.bfloat16)
+        elif precision != "bf16" and data.dtype == jnp.bfloat16:
+            # See rolling.py: solver-grade precision on bf16 strips
+            # upcasts so the kernels never mix bf16 x f32 under HIGHEST.
+            data = data.astype(jnp.float32)
         return dataclasses.replace(self, data=data,
                                    mxu_precision=precision,
                                    transpose_bsr=t)

@@ -110,6 +110,13 @@ class RollingBanded:
         band = self.band
         if precision == "bf16" and band.dtype != jnp.bfloat16:
             band = band.astype(jnp.bfloat16)
+        elif precision != "bf16" and band.dtype == jnp.bfloat16:
+            # Solver-grade precision requested on a bf16-stored band:
+            # upcast so the HIGHEST/bf16x3 kernel branches see f32
+            # operands (Mosaic rejects bf16 x f32 under HIGHEST). The
+            # bf16 roundtrip already dropped mantissa bits — prefer
+            # keeping the f32 original around instead of this path.
+            band = band.astype(jnp.float32)
         return dataclasses.replace(self, band=band,
                                    mxu_precision=precision,
                                    transpose_rolling=t)

@@ -523,6 +523,35 @@ def test_bf16_stored_operator_mode(rng):
         assert np.abs(W - exact).max() / np.abs(exact).max() < 2e-2
 
 
+def test_precision_roundtrip_upcasts_band(rng):
+    """with_precision('highest') on a bf16-STORED operator upcasts the
+    band back to f32 — the TPU kernels reject bf16 operands under
+    Precision.HIGHEST, so the roundtrip must restore f32 storage (the
+    values keep their bf16 rounding; keeping the f32 original around is
+    still the documented solver-grade pattern)."""
+    import jax.numpy as jnp
+
+    from eigenpinns_tpu.geometry import point_cloud_laplacian
+    from eigenpinns_tpu.sparse import BSRTile, RollingBanded, spmm
+
+    r2 = np.random.default_rng(5)
+    X = r2.normal(size=(400, 3))
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    L, _ = point_cloud_laplacian(X, n_neighbors=12)
+    U = jnp.asarray(r2.normal(size=(400, 4)).astype(np.float32))
+    for cls in (RollingBanded, BSRTile):
+        op, p = cls.from_scipy(L)
+        opb = op.with_precision("bf16")
+        oph = opb.with_precision("highest")
+        stored = oph.band if cls is RollingBanded else oph.data
+        assert stored.dtype == jnp.float32
+        # And the product equals the bf16-rounded operator's (the
+        # upcast cannot recover dropped mantissa bits, only the dtype).
+        Wb = np.asarray(spmm(opb, U))
+        Wh = np.asarray(spmm(oph, U))
+        assert np.abs(Wb - Wh).max() / np.abs(Wb).max() < 2e-3
+
+
 def test_function_operator_dispatch(rng):
     """FunctionOperator routes any callable through spmm()/diagonal() —
     the hook that lets sharded SpMM closures flow into solver code."""
