@@ -67,6 +67,9 @@ class Config:
     operator_format: str = "ell"           # 'ell' | 'banded' | 'auto'
     pc_neighbors: int = 30                 # point-cloud Laplacian kNN
     scan_chunk: int = 100                  # epochs fused per jitted scan
+    timing_chunks: int = 0                 # post-training chained-dispatch
+                                           # throughput probe (see
+                                           # train/loop.py run_scan_loop)
     early_stop_patience: int = 5000        # src/multigrid_model.py:234
     scale_ramp_epochs: int = 5000          # adaptive corr ramp (:243)
     plateau_patience: int = 2000           # ReduceLROnPlateau (:221-223)

@@ -49,6 +49,7 @@ class DirectResult:
     epochs_run: int
     wall_time: float
     chunk_times: list
+    steady_steps_per_sec: float | None = None  # timing_chunks probe
 
 
 def train_joint(
@@ -79,6 +80,7 @@ def train_joint(
     mlp_compute_dtype: str | None = None,
     log_fn=None,
     log_every: int = 0,
+    timing_chunks: int = 0,
 ) -> DirectResult:
     """Learn all n_modes eigenfunctions of K u = lam M u jointly.
 
@@ -194,7 +196,8 @@ def train_joint(
 
     result = run_scan_loop(step, DirectState(params, opt_state),
                            n_epochs=epochs, chunk=scan_chunk,
-                           log_every=log_every, log_fn=log_fn, data=data)
+                           log_every=log_every, log_fn=log_fn, data=data,
+                           timing_chunks=timing_chunks)
 
     U = model.apply(result.state.params, X)
     if mode == "whiten":
@@ -215,4 +218,5 @@ def train_joint(
         epochs_run=result.epochs_run,
         wall_time=result.wall_time,
         chunk_times=result.chunk_times,
+        steady_steps_per_sec=result.steady_rate,
     )

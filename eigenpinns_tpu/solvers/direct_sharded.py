@@ -63,6 +63,7 @@ class ShardedDirectResult:
     wall_time: float
     chunk_times: list
     perm: np.ndarray              # internal ordering (diagnostic)
+    steady_steps_per_sec: float | None = None  # timing_chunks probe
 
 
 @dataclasses.dataclass
@@ -155,6 +156,7 @@ def train_joint_sharded(
     seed: int = 0,
     rayleigh_ritz_finish: bool = True,
     mlp_compute_dtype: str | None = None,
+    timing_chunks: int = 0,
     problem: ShardedProblem | None = None,
     checkpoint_dir: str = "",
     checkpoint_every_chunks: int = 10,
@@ -256,7 +258,8 @@ def train_joint_sharded(
     result = run_scan_loop(step, _State(params, opt_state),
                            n_epochs=epochs, chunk=scan_chunk,
                            log_every=log_every, log_fn=log_fn, data=data,
-                           start_epoch=epoch0, chunk_callback=chunk_cb)
+                           start_epoch=epoch0, chunk_callback=chunk_cb,
+                           timing_chunks=timing_chunks)
     if ckptr is not None:
         ckptr.save(epoch0 + result.epochs_run,
                    {"params": result.state.params,
@@ -288,4 +291,5 @@ def train_joint_sharded(
         wall_time=result.wall_time,
         chunk_times=result.chunk_times,
         perm=perm,
+        steady_steps_per_sec=result.steady_rate,
     )

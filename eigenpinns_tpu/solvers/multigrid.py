@@ -68,6 +68,7 @@ class MultigridResult:
     wall_time: float
     level_eigenvalues: list[np.ndarray]
     chunk_times: list
+    steady_steps_per_sec: float | None = None  # cfg.timing_chunks probe
 
 
 def _level_features(X, U_norm, lam, edge_index, K, M, level_idx, n_levels):
@@ -375,6 +376,7 @@ class MultigridTrainer:
                 data=data,
                 start_epoch=epoch0,
                 chunk_callback=chunk_cb,
+                timing_chunks=cfg.timing_chunks,
             )
         if ckptr is not None:
             ckptr.save(epoch0 + result.epochs_run, result.state)
@@ -429,6 +431,7 @@ class MultigridTrainer:
             wall_time=result.wall_time,
             level_eigenvalues=lam_levels,
             chunk_times=result.chunk_times,
+            steady_steps_per_sec=result.steady_rate,
         )
 
     @staticmethod

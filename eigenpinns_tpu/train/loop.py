@@ -29,6 +29,8 @@ class LoopResult(NamedTuple):
                             # includes compilation — steady-state rate is
                             # sum(n)/sum(s) over chunks 1+
     best_state: Any = None  # state at the best metric (track_best=True)
+    steady_rate: float | None = None  # steps/s from the chained timing
+                                      # probe (timing_chunks > 0)
 
 
 def run_scan_loop(
@@ -46,6 +48,7 @@ def run_scan_loop(
     data: Any = None,
     start_epoch: int = 0,
     chunk_callback: Callable | None = None,
+    timing_chunks: int = 0,
 ) -> LoopResult:
     """Run `step_fn` for up to n_epochs, fused in jitted scan chunks.
 
@@ -70,6 +73,21 @@ def run_scan_loop(
     every chunk with the live training state — the observability hook
     for mid-training evaluation (subspace-error tracking, custom
     checkpoint cadence) without breaking the scan fusion.
+
+    `timing_chunks` (optional) appends a chained throughput probe AFTER
+    training: 3 rounds, each dispatching the already-compiled chunk
+    program `timing_chunks` times back-to-back with NO host sync in
+    between and forcing with a single scalar readback. Round rate =
+    epochs / raw wall INCLUDING that one readback round trip — a strict
+    LOWER bound on device throughput (nothing is subtracted, so relay
+    jitter can only understate it); `LoopResult.steady_rate` is the max
+    (tightest bound) over rounds. The main-loop `chunk_times` instead
+    pay one round trip per chunk, which on a tunneled device costs
+    10-40% at sub-second chunk sizes. Baseline-subtraction was tried
+    and rejected: under relay congestion the subtracted round trip is
+    seconds-scale noise and can OVERSTATE the rate several-fold. The
+    probe's extra training steps are DISCARDED: the returned
+    state/history are exactly those of the requested `n_epochs` run.
     """
     import numpy as np
 
@@ -135,7 +153,26 @@ def run_scan_loop(
             stopped = True
             break
 
+    steady_rate = None
+    if timing_chunks > 0:
+        probe_carry = carry
+        rates = []
+        for _ in range(3):
+            probe_metrics = None
+            t_probe = time.time()
+            for i in range(timing_chunks):
+                probe_carry, probe_metrics = run_chunk(
+                    probe_carry, data,
+                    jnp.asarray(start_epoch + epochs_run + i * chunk,
+                                jnp.int32), chunk)
+            float(probe_metrics[early_stop_metric][-1])  # forcing read
+            raw = time.time() - t_probe   # includes ONE readback RTT
+            rates.append(timing_chunks * chunk / max(raw, 1e-9))
+        steady_rate = max(rates)          # tightest lower bound
+        del probe_carry, probe_metrics    # probe training state discarded
+
     history = {k: np.concatenate(v) for k, v in history.items()}
     return LoopResult(carry[0], history, epochs_run, time.time() - t0,
                       stopped, chunk_times,
-                      carry[3] if track_best else None)
+                      carry[3] if track_best else None,
+                      steady_rate)

@@ -324,3 +324,19 @@ def test_cli_sharded_mesh_shape(tmp_path):
     pts, tris, pd = read_vtu(str(vtu))
     assert pts.shape[0] == 187
     assert set(pd) == {"v0", "v1", "v2"}
+
+
+def test_timing_probe_does_not_perturb_results(small_hierarchy):
+    """cfg.timing_chunks appends a chained throughput probe whose extra
+    training steps are DISCARDED: the returned eigenpairs/history match a
+    probe-free run exactly, and the probe reports a positive steps/s."""
+    r0 = MultigridTrainer(small_config()).train(small_hierarchy)
+    r1 = MultigridTrainer(small_config(timing_chunks=2)).train(
+        small_hierarchy)
+    assert r0.steady_steps_per_sec is None
+    assert r1.steady_steps_per_sec is not None
+    assert r1.steady_steps_per_sec > 0
+    assert r1.epochs_run == r0.epochs_run
+    np.testing.assert_allclose(r1.eigenvalues, r0.eigenvalues, rtol=1e-6)
+    np.testing.assert_allclose(r1.history["loss"], r0.history["loss"],
+                               rtol=1e-6)
