@@ -85,11 +85,29 @@ def bench_bunny() -> dict:
     mesh = load_mesh("/root/reference/resources/bunny.obj")
     log(f"[bunny] {mesh.n_verts} verts; preprocessing...")
     t0 = time.time()
-    hierarchy = build_hierarchy(
-        mesh, [128, 512, 1024], n_modes=10,
-        sampler_type="farthest_point", seed=0, operator_format="auto")
-    log(f"[bunny] hierarchy {hierarchy.actual_hierarchy} "
-        f"in {time.time()-t0:.1f}s")
+    # Preprocessing is setup, not the benched metric (steps/s) — cache
+    # the hierarchy on disk so a congested relay (observed 13 s -> 457 s
+    # on identical work) cannot blow the bench's wall clock.
+    import os
+
+    from eigenpinns_tpu.sampling.hierarchy import Hierarchy
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".cache_bunny")
+    if os.path.exists(os.path.join(cache, "hierarchy.npz")):
+        hierarchy = Hierarchy.load(cache, operator_format="auto")
+        log(f"[bunny] hierarchy {hierarchy.actual_hierarchy} "
+            f"from cache in {time.time()-t0:.1f}s")
+    else:
+        hierarchy = build_hierarchy(
+            mesh, [128, 512, 1024], n_modes=10,
+            sampler_type="farthest_point", seed=0, operator_format="auto")
+        try:
+            hierarchy.save(cache)
+        except Exception as e:
+            log(f"[bunny] cache save skipped: {e}")
+        log(f"[bunny] hierarchy {hierarchy.actual_hierarchy} "
+            f"in {time.time()-t0:.1f}s")
 
     cfg = Config(
         n_modes=10,
