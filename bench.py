@@ -179,8 +179,9 @@ def bench_large_n(n: int = 300_000, k: int = 20) -> dict:
     # tunneled relay's dispatch cannot be timed out of a single call.
     # Two lines: f32-HIGHEST (solver-grade) and bf16-stored strips
     # (training-loss-grade, half the strip bytes, one MXU pass); both
-    # with the HBM-traffic GB/s alongside MFU. Layout chunk=4 per the
-    # A/B in scripts/ab_spmm_layouts.py (best at every precision).
+    # with the HBM-traffic GB/s alongside MFU. Layout chunk=8 +
+    # grouped-union gather G=32 per the A/Bs in
+    # scripts/ab_spmm_layouts.py and sparse/bsr.py's module docstring.
     kk = 128
     U = jnp.asarray(np.random.default_rng(1).normal(
         size=(n, kk)).astype(np.float32))
@@ -225,8 +226,13 @@ def bench_large_n(n: int = 300_000, k: int = 20) -> dict:
         op = K_op.with_precision(prec)
         t_spmm = measure_spmm(op)
         strip_b = op.data.nbytes   # already dtype-sized (bf16 = half)
+        if op.gcid is not None:
+            # Grouped-union kernel: one gather per union slot per group.
+            gather_b = op.gcid.shape[0] * op.gcid.shape[1] * 128 * kk * 4
+        else:
+            gather_b = op.n_chunks * op.chunk * 128 * kk * 4
         moved = (strip_b
-                 + op.n_chunks * op.chunk * 128 * kk * 4   # U tile gathers
+                 + gather_b                                # U tile gathers
                  + op.n_row_tiles * 128 * kk * 4)          # output write
         achieved = flops / t_spmm
         spmm_lines[prec] = (t_spmm, achieved, moved / t_spmm)

@@ -30,6 +30,20 @@ C=4) and the MXU work with it (115 vs 167 GFLOP):
     buffering leaves the MXU waiting) while earlier chunks' single
     (T, C*T) x (C*T, k) MXU matmuls run.
 
+GROUPED-GATHER variant (the default at static layout, `group=32`):
+adjacent row tiles under RCM share ~all of their column windows, so the
+per-chunk burst re-fetches every shared U tile once per referencing
+chunk. `bsr_spmm_pallas_grouped` gathers the UNION of G row tiles'
+column tiles once per group (double-buffered across groups) and the
+per-chunk matmul reads the union buffer at lcid offsets. The grid-step
+count, not HBM traffic, turned out to be the second-order bound — the
+grouped kernel makes fatter chunks (C=8 default, up from 4) affordable
+because pad slots cost only strip bytes + MXU zeros, not extra
+gathers. 300k x 128 A/B (2026-08-17, .scratch_ab_chunk*.py): burst
+C=4: 8.36 ms f32-HIGHEST / 6.37 bf16 -> grouped C=8 G=32: 7.90 / 5.59
+(C=16 G=32 reaches bf16 5.22 but f32 8.18 — HIGHEST pays 6 MXU passes
+per pad zero, so solver-grade prefers the thinner chunk).
+
 Replaces the reference's torch.sparse COO SpMV hot op
 (src/multigrid_model.py:306-322) at any N; supersedes rolling.py as
 the preferred large-N operator format for wide k (the rolling band's
@@ -107,15 +121,31 @@ class BSRTile:
     # always reads rowid through scalar prefetch, so both modes support
     # the accumulating kernel.)
     static_layout: bool = True
+    # Grouped-gather tables (static_layout only; None = ungrouped
+    # kernel). Adjacent row tiles share most of their column windows
+    # under RCM ordering, so the per-chunk U gather re-fetched every
+    # shared tile once per referencing row tile (~W x the U bytes, the
+    # dominant HBM traffic at wide k). Grouping G row tiles gathers the
+    # UNION of their column tiles once into VMEM:
+    #   gcid (n_groups, C_u) int32 — union column-tile ids (pads repeat
+    #        a valid id; the duplicate fetch is harmless)
+    #   lcid (S, C) int32 — chunk slot -> slot in its group's union
+    #   gid  (S,) int32 nondecreasing — chunk -> group (= rowid // G)
+    gcid: Any = None
+    lcid: Any = None
+    gid: Any = None
 
     def tree_flatten(self):
         has_t = self.transpose_bsr is not None
         if self.static_layout:
             children = (self.data, self.diag) + (
                 (self.transpose_bsr,) if has_t else ())
+            grp = (None if self.gcid is None else
+                   (_Static(self.gcid), _Static(self.lcid),
+                    _Static(self.gid)))
             return children, (True, _Static(self.cid), _Static(self.rowid),
                               _Static(self.nw), self.n, self.n_cols,
-                              self.tile, has_t, self.mxu_precision)
+                              self.tile, has_t, self.mxu_precision, grp)
         children = (self.data, self.cid, self.rowid, self.nw, self.diag) + (
             (self.transpose_bsr,) if has_t else ())
         return children, (False, self.n, self.n_cols, self.tile, has_t,
@@ -124,10 +154,12 @@ class BSRTile:
     @classmethod
     def tree_unflatten(cls, aux, children):
         if aux[0]:
-            _, cid, rowid, nw, n, n_cols, tile, has_t, prec = aux
+            _, cid, rowid, nw, n, n_cols, tile, has_t, prec, grp = aux
             t = children[2] if has_t else None
+            g = ((None, None, None) if grp is None
+                 else (grp[0].a, grp[1].a, grp[2].a))
             return cls(children[0], cid.a, rowid.a, nw.a, children[1],
-                       n, n_cols, tile, t, prec, True)
+                       n, n_cols, tile, t, prec, True, *g)
         _, n, n_cols, tile, has_t, prec = aux
         t = children[5] if has_t else None
         return cls(children[0], children[1], children[2], children[3],
@@ -193,7 +225,8 @@ class BSRTile:
                    pad_chunks_to: int | None = None,
                    perm: np.ndarray | None = None,
                    static_layout: bool = True,
-                   chunk: int = 4):
+                   chunk: int = 8,
+                   group: int = 32):
         """Convert scipy sparse; returns (op, perm) like the other
         formats. No bandwidth cap — any sparsity pattern tiles.
 
@@ -202,7 +235,14 @@ class BSRTile:
         shape share a single compiled executable for every solver
         program (jit caches on shapes); pad chunks are zero tiles
         accumulated into the last row tile. `perm` supplies a
-        precomputed ordering (skips the RCM pass on rebuilds)."""
+        precomputed ordering (skips the RCM pass on rebuilds).
+
+        `group`: row tiles per gather group (grouped-union U fetch, see
+        the gcid field comment; 0 disables). Built only for
+        static_layout — traced-layout family members would need a
+        family-common union width, which the family builder does not
+        coordinate. Groups whose union exceeds 64 column tiles fall out
+        of the VMEM budget; G is halved adaptively until it fits."""
         A = A.tocsr()
         A.sum_duplicates()
         n, n_cols = A.shape
@@ -272,6 +312,33 @@ class BSRTile:
         cid[:] = fallback[rowid][:, None]
         cid[t_chunk, t_slot] = t_ct.astype(np.int32)
 
+        # Grouped-gather tables: union of the group's column-tile ids,
+        # gathered once per group instead of once per referencing chunk
+        # slot (the RCM band makes adjacent row tiles' windows overlap
+        # ~fully, so the union is ~W + G - 1 tiles vs G*W fetches).
+        gcid = lcid = gid = None
+        G = int(group)
+        if static_layout and G > 0:
+            while True:
+                gid_try = (rowid // max(G, 1)).astype(np.int32)
+                n_groups = int(gid_try[-1]) + 1 if S else 1
+                unions = [np.unique(cid[gid_try == g])
+                          for g in range(n_groups)]
+                C_u = max((u.shape[0] for u in unions), default=1)
+                if C_u <= 64 or G == 1:
+                    break
+                G //= 2
+            if C_u <= 64:
+                gid = gid_try
+                gcid = np.zeros((n_groups, C_u), np.int32)
+                lcid = np.zeros((S, C), np.int32)
+                for g, u in enumerate(unions):
+                    gcid[g, :u.shape[0]] = u
+                    gcid[g, u.shape[0]:] = u[0]     # pad: harmless refetch
+                    sel = gid == g
+                    lcid[sel] = np.searchsorted(
+                        u, cid[sel]).astype(np.int32)
+
         np_dtype = np.dtype(jnp.dtype(dtype).name)
         slot_of_entry = np.searchsorted(tile_key, key_s)
         lr = (coo.row[order] % T).astype(np.int64)
@@ -314,10 +381,10 @@ class BSRTile:
                 transpose = cls.from_scipy(
                     Ap.T.tocsr(), dtype=dtype, tile=tile, reorder=False,
                     with_transpose=False, static_layout=static_layout,
-                    pad_rows_to=pad_rows_to, chunk=C)[0]
+                    pad_rows_to=pad_rows_to, chunk=C, group=group)[0]
 
         op = cls(jnp.asarray(data), cid, rowid, nw, diag, n, n_cols, T,
-                 transpose, "highest", static_layout)
+                 transpose, "highest", static_layout, gcid, lcid, gid)
         return op, perm
 
     def pad_u(self, U: jax.Array) -> jax.Array:
@@ -342,6 +409,132 @@ def bsr_spmm_reference(A: BSRTile, U: jax.Array) -> jax.Array:
     out = jax.ops.segment_sum(partial, jnp.asarray(A.rowid),
                               num_segments=A.n_row_tiles)
     return out.reshape(-1, k)[: A.n].astype(U.dtype)
+
+
+def bsr_spmm_pallas_grouped(A: BSRTile, U: jax.Array,
+                            interpret: bool = False) -> jax.Array:
+    """Grouped-union gather variant: one grid step per chunk, but U
+    tiles arrive via per-GROUP union DMAs (double-buffered across
+    groups) instead of per-chunk bursts — each shared column tile is
+    fetched once per G row tiles instead of once per referencing chunk
+    slot, cutting the dominant HBM traffic by ~G*W/(W+G). The per-chunk
+    matmul splits into C (T, T) x (T, k) dots reading the union buffer
+    at lcid-offsets; accumulation into the rowid-indexed resident
+    output block is unchanged. Entering group g issues group g+1's
+    union gathers, which then have a full group of matmuls to land."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    T, C = A.tile, A.chunk
+    k_orig = U.shape[1]
+    k = _round_up(k_orig, 128)
+    if k != k_orig:
+        U = jnp.pad(U, ((0, 0), (0, k - k_orig)))
+    Up = A.pad_u(U)
+    S = A.n_chunks
+    n_rt = A.n_row_tiles
+    C_u = A.gcid.shape[1]
+    # 1D scalar prefetch (2D SMEM operands pad the minor dim to 128).
+    gcid = jnp.asarray(A.gcid).reshape(-1).astype(jnp.int32)
+    lcid = jnp.asarray(A.lcid).reshape(-1).astype(jnp.int32)
+    rowid = jnp.asarray(A.rowid).astype(jnp.int32)
+    gid = jnp.asarray(A.gid).astype(jnp.int32)
+    n_groups = A.gcid.shape[0]
+
+    def kernel(gcid_ref, lcid_ref, rowid_ref, gid_ref, strip_ref, u_ref,
+               out_ref, ubuf, sem):
+        s = pl.program_id(0)
+        g = gid_ref[s]
+
+        def union_copies(slot, gg):
+            return [pltpu.make_async_copy(
+                u_ref.at[pl.ds(gcid_ref[gg * C_u + j] * T, T), :],
+                ubuf.at[slot, pl.ds(j * T, T), :],
+                sem.at[slot, j]) for j in range(C_u)]
+
+        first_of_group = jnp.logical_or(
+            s == 0, gid_ref[jnp.maximum(s - 1, 0)] != g)
+
+        @pl.when(s == 0)
+        def _():
+            for c in union_copies(0, 0):
+                c.start()
+            if n_groups > 1:
+                for c in union_copies(1, 1):
+                    c.start()
+
+        @pl.when(jnp.logical_and(first_of_group,
+                                 jnp.logical_and(s > 0,
+                                                 g + 1 < n_groups)))
+        def _():
+            # Group g-1's compute just released slot (g+1)%2.
+            for c in union_copies((g + 1) % 2, g + 1):
+                c.start()
+
+        @pl.when(first_of_group)
+        def _():
+            for c in union_copies(g % 2, g):
+                c.wait()
+
+        slot = g % 2
+        base = s * C
+
+        def tile_dot(j, acc):
+            u_t = ubuf[slot, pl.ds(lcid_ref[base + j] * T, T), :]
+            a_t = strip_ref[:, j * T:(j + 1) * T]
+            if A.mxu_precision == "highest":
+                return acc + jnp.dot(a_t, u_t,
+                                     precision=jax.lax.Precision.HIGHEST,
+                                     preferred_element_type=jnp.float32)
+            elif A.mxu_precision == "bf16":
+                return acc + jnp.dot(a_t, u_t.astype(jnp.bfloat16),
+                                     preferred_element_type=jnp.float32)
+            ah = a_t.astype(jnp.bfloat16)
+            al = (a_t - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+            uh = u_t.astype(jnp.bfloat16)
+            ul = (u_t - uh.astype(jnp.float32)).astype(jnp.bfloat16)
+            return (acc
+                    + jnp.dot(ah, uh, preferred_element_type=jnp.float32)
+                    + jnp.dot(al, uh, preferred_element_type=jnp.float32)
+                    + jnp.dot(ah, ul, preferred_element_type=jnp.float32))
+
+        w = jnp.zeros((T, k), jnp.float32)
+        for j in range(C):
+            w = tile_dot(j, w)
+
+        prev = rowid_ref[jnp.maximum(s - 1, 0)]
+        first = jnp.logical_or(s == 0, rowid_ref[s] != prev)
+
+        @pl.when(first)
+        def _():
+            out_ref[:] = w.astype(out_ref.dtype)
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            out_ref[:] = out_ref[:] + w.astype(out_ref.dtype)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(S,),
+        in_specs=[
+            pl.BlockSpec((T, C * T), lambda s, *pf: (s, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((T, k),
+                               lambda s, gcid, lcid, rowid, gid:
+                               (rowid[s], 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, C_u * T, k), U.dtype),
+            pltpu.SemaphoreType.DMA((2, C_u)),
+        ],
+    )
+    W_out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_rt * T, k), U.dtype),
+        interpret=interpret,
+    )(gcid, lcid, rowid, gid, A.data, Up)
+    return W_out[: A.n, : k_orig]
 
 
 def bsr_spmm_pallas(A: BSRTile, U: jax.Array,
@@ -462,8 +655,21 @@ def bsr_spmm_pallas(A: BSRTile, U: jax.Array,
     return W_out[: A.n, : k_orig]
 
 
+def _use_grouped(A: BSRTile, U) -> bool:
+    import os
+
+    if A.gcid is None or os.environ.get("EIGENPINNS_BSR_GROUPED",
+                                        "1") == "0":
+        return False
+    k = _round_up(U.shape[1], 128)
+    # Double-buffered union must leave headroom in the ~16 MB VMEM.
+    return 2 * A.gcid.shape[1] * A.tile * k * U.dtype.itemsize <= 12 << 20
+
+
 def _impl(A: BSRTile, U: jax.Array) -> jax.Array:
     if jax.default_backend() == "tpu":
+        if _use_grouped(A, U):
+            return bsr_spmm_pallas_grouped(A, U)
         return bsr_spmm_pallas(A, U)
     return bsr_spmm_reference(A, U)
 
