@@ -175,8 +175,10 @@ def bench_large_n(n: int = 300_000, k: int = 20) -> dict:
     # --- SpMM MFU: strip-BSR SpMM + Gram ---------------------------------
     # k=128 (one full lane tile) so padding does not inflate the FLOP
     # count. Timing: R iterations chained inside one jit (each feeding
-    # the next) + one host readback, minus the readback baseline — the
-    # tunneled relay's dispatch cannot be timed out of a single call.
+    # the next) + one host readback; per-iteration time = best-of-5 raw
+    # wall / R with the readback round trip INCLUDED (strict lower
+    # bound on kernel speed, same convention as the steps/s probe —
+    # baseline subtraction overstates under relay congestion).
     # Two lines: f32-HIGHEST (solver-grade) and bf16-stored strips
     # (training-loss-grade, half the strip bytes, one MXU pass); both
     # with the HBM-traffic GB/s alongside MFU. Layout chunk=8 +
@@ -185,7 +187,7 @@ def bench_large_n(n: int = 300_000, k: int = 20) -> dict:
     kk = 128
     U = jnp.asarray(np.random.default_rng(1).normal(
         size=(n, kk)).astype(np.float32))
-    R = 20
+    R = 50
 
     def measure_spmm(op):
         @jax.jit
@@ -195,25 +197,15 @@ def bench_large_n(n: int = 300_000, k: int = 20) -> dict:
                 return W / (1e-6 + jnp.max(jnp.abs(W))), G
             return jax.lax.scan(it, U, None, length=R)
 
-        # Readback baseline as a median: a single sample is hostage to
-        # relay jitter and skews the subtracted kernel time by ms.
-        tiny = jax.jit(lambda U: jnp.sum(U))
-        float(tiny(U))
-        base_samples = []
-        for _ in range(7):
-            t0 = time.time()
-            float(tiny(U))
-            base_samples.append(time.time() - t0)
-        base = float(np.median(base_samples))
         c, _ = chained(op, U)
         float(jnp.sum(c))
-        times = []
+        best = np.inf
         for _ in range(5):
             t0 = time.time()
             c, _ = chained(op, U)
             float(jnp.sum(c))
-            times.append(time.time() - t0)
-        return (float(np.median(times)) - base) / R
+            best = min(best, time.time() - t0)
+        return best / R
 
     peak = peak_flops_for(jax.devices()[0])
     # Executed FLOPs: strip matmuls (2 * strip_rows * strip_cols * k)
@@ -306,12 +298,29 @@ def main() -> None:
 
     log(f"devices: {jax.devices()}")
 
-    bunny = bench_bunny()
+    # The tunneled relay throws transient UNAVAILABLE setup/compile
+    # errors (observed 2026-08-17); one retry saves the headline.
+    for attempt in (1, 2):
+        try:
+            bunny = bench_bunny()
+            break
+        except Exception as e:
+            log(f"[bunny] attempt {attempt} FAILED: "
+                f"{type(e).__name__}: {e}")
+            if attempt == 2:
+                raise
+            time.sleep(30)
     try:
         large = bench_large_n()
     except Exception as e:  # never lose the bunny number to a phase-2 crash
         log(f"[300k] FAILED: {type(e).__name__}: {e}")
-        large = {"error": f"{type(e).__name__}: {e}"}
+        try:
+            log("[300k] retrying once...")
+            time.sleep(30)
+            large = bench_large_n()
+        except Exception as e2:
+            log(f"[300k] retry FAILED: {type(e2).__name__}: {e2}")
+            large = {"error": f"{type(e2).__name__}: {e2}"}
 
     log(f"end-to-end wall: {time.time()-t_start:.1f}s")
     print(json.dumps({

@@ -1,11 +1,19 @@
 """A/B harness behind the strip-BSR SpMM headline number.
 
-Measures chunk size (C) x MXU precision back-to-back in ONE session on
+Measures chunk size (C) x group size (G, grouped-union gather; 0 =
+per-chunk burst kernel) x MXU precision back-to-back in ONE session on
 the 300k cloud operator — the tunneled chip's session-to-session
 variance (observed multiple ms on a ~10 ms kernel) makes cross-session
 comparisons meaningless, so every layout decision must come from a run
-like this. Timing methodology matches bench.py exactly (chained scan
-iterations + median readback baseline).
+like this. Timing methodology matches bench.py (chained scan
+iterations; rate from raw wall including one forcing readback — a
+strict lower bound).
+
+Decision record (2026-08-17 session): burst C=4 8.36 ms HIGHEST /
+6.37 bf16; grouped C=8 G=32 7.90 / 5.59 (adopted defaults); grouped
+C=16 G=32 8.18 / 5.22 (bf16 optimum; HIGHEST pays 6 MXU passes per pad
+zero); thin chunks regress (C=2 9.31, C=1 12.06 — per-grid-step
+overhead).
 
     python scripts/ab_spmm_layouts.py [n] [k]
 """
@@ -52,42 +60,38 @@ def main(n=300_000, kk=128):
                 return W / (1e-6 + jnp.max(jnp.abs(W))), G
             return jax.lax.scan(it, U, None, length=R)
 
-        base_samples = []
-        for _ in range(7):
-            t0 = time.time()
-            float(tiny(U))
-            base_samples.append(time.time() - t0)
-        base = float(np.median(base_samples))
         c, _ = chained(op, U)
         float(jnp.sum(c))
-        times = []
+        best = np.inf
         for _ in range(5):
             t0 = time.time()
             c, _ = chained(op, U)
             float(jnp.sum(c))
-            times.append(time.time() - t0)
-        return (float(np.median(times)) - base) / R
+            best = min(best, time.time() - t0)
+        return best / R   # raw incl. one readback: strict lower bound
 
     rows = []
-    for C in (4,):
+    for C, G in ((4, 0), (8, 32), (16, 32)):
         t0 = time.time()
-        op0, _ = BSRTile.from_scipy(L, chunk=C)
+        op0, _ = BSRTile.from_scipy(L, chunk=C, group=G)
         build_s = time.time() - t0
+        cu = 0 if op0.gcid is None else op0.gcid.shape[1]
         for prec in ("highest", "high", "bf16"):
-          for depth in (2, 4, 8):
-            # Same-session prefetch-depth A/B (read at trace time).
-            os.environ["EIGENPINNS_BSR_PREFETCH_DEPTH"] = str(depth)
             op = op0.with_precision(prec)
             t = measure(op)
             flops = (2.0 * op.data.shape[0] * op.data.shape[1] * kk
                      + 2.0 * n * kk * kk)
             strip_b = op.data.nbytes  # dtype-sized (bf16 = half)
-            moved = (strip_b                      # strips read
-                     + op.n_chunks * op.chunk * 128 * kk * 4   # U gathers
+            if op.gcid is not None:
+                gather_b = (op.gcid.shape[0] * op.gcid.shape[1]
+                            * 128 * kk * 4)
+            else:
+                gather_b = op.n_chunks * op.chunk * 128 * kk * 4
+            moved = (strip_b + gather_b
                      + op.n_row_tiles * 128 * kk * 4)          # out write
-            rows.append((C, prec, depth, t * 1e3, flops / t / 1e12,
+            rows.append((C, G, prec, t * 1e3, flops / t / 1e12,
                          flops / t / peak, moved / t / 1e12))
-            print(f"C={C:2d} prec={prec:8s} depth={depth}: "
+            print(f"C={C:2d} G={G:2d} C_u={cu:2d} prec={prec:8s}: "
                   f"{t*1e3:7.2f} ms  "
                   f"{flops/t/1e12:5.1f} TF/s  MFU={flops/t/peak:.3f}  "
                   f"{moved/t/1e12:.3f} TB/s  (S={op.n_chunks}, "
