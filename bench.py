@@ -73,41 +73,92 @@ def peak_flops_for(device) -> float:
     return DEFAULT_PEAK
 
 
+def bunny_hierarchy():
+    """Bunny hierarchy with a guarded disk cache.
+
+    Preprocessing is setup, not the benched metric (steps/s) — cache
+    the hierarchy so a congested relay (observed 13 s -> 457 s on
+    identical work) cannot blow the bench's wall clock. The load is
+    exception-guarded (a truncated cache from a killed save must fall
+    back to a rebuild, not kill the headline) and validated against the
+    expected level sizes; the save goes to a temp dir + atomic rename."""
+    import os
+
+    from eigenpinns_tpu.geometry import load_mesh
+    from eigenpinns_tpu.sampling import build_hierarchy
+    from eigenpinns_tpu.sampling.hierarchy import Hierarchy
+
+    levels, n_modes = [128, 512, 1024], 10
+    mesh = load_mesh("/root/reference/resources/bunny.obj")
+    log(f"[bunny] {mesh.n_verts} verts; preprocessing...")
+    t0 = time.time()
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".cache_bunny")
+    if os.path.exists(os.path.join(cache, "hierarchy.npz")):
+        try:
+            h = Hierarchy.load(cache, operator_format="auto")
+            if (list(h.actual_hierarchy[:-1]) == levels
+                    and h.U_list[0].shape[1] == n_modes):
+                log(f"[bunny] hierarchy {h.actual_hierarchy} "
+                    f"from cache in {time.time()-t0:.1f}s")
+                return h
+            log("[bunny] cache is for different params; rebuilding")
+        except Exception as e:
+            log(f"[bunny] cache load failed ({e!r}); rebuilding")
+    h = build_hierarchy(
+        mesh, levels, n_modes=n_modes,
+        sampler_type="farthest_point", seed=0, operator_format="auto")
+    try:
+        tmp = cache + ".tmp"
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        h.save(tmp)
+        shutil.rmtree(cache, ignore_errors=True)
+        os.rename(tmp, cache)
+    except Exception as e:
+        log(f"[bunny] cache save skipped: {e}")
+    log(f"[bunny] hierarchy {h.actual_hierarchy} in {time.time()-t0:.1f}s")
+    return h
+
+
+def chained_spmm_time(op, U, R: int = 50) -> float:
+    """Per-iteration time of bsr_spmm_gram: R iterations chained in one
+    jit + one forcing readback; best-of-5 raw wall / R (round trip
+    INCLUDED — strict lower bound, same convention as the steps/s
+    probe; baseline subtraction overstates under relay congestion)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from eigenpinns_tpu.sparse import bsr_spmm_gram
+
+    @jax.jit
+    def chained(op, U):
+        def it(c, _):
+            W, G = bsr_spmm_gram(op, c)
+            return W / (1e-6 + jnp.max(jnp.abs(W))), G
+        return jax.lax.scan(it, U, None, length=R)
+
+    c, _ = chained(op, U)
+    float(jnp.sum(c))
+    best = np.inf
+    for _ in range(5):
+        t0 = time.time()
+        c, _ = chained(op, U)
+        float(jnp.sum(c))
+        best = min(best, time.time() - t0)
+    return best / R
+
+
 def bench_bunny() -> dict:
     import numpy as np
 
     from eigenpinns_tpu.configs import Config
-    from eigenpinns_tpu.geometry import load_mesh
-    from eigenpinns_tpu.sampling import build_hierarchy
     from eigenpinns_tpu.solvers.multigrid import MultigridTrainer
     from eigenpinns_tpu.solvers.oracle import eigsh_smallest
 
-    mesh = load_mesh("/root/reference/resources/bunny.obj")
-    log(f"[bunny] {mesh.n_verts} verts; preprocessing...")
-    t0 = time.time()
-    # Preprocessing is setup, not the benched metric (steps/s) — cache
-    # the hierarchy on disk so a congested relay (observed 13 s -> 457 s
-    # on identical work) cannot blow the bench's wall clock.
-    import os
-
-    from eigenpinns_tpu.sampling.hierarchy import Hierarchy
-
-    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         ".cache_bunny")
-    if os.path.exists(os.path.join(cache, "hierarchy.npz")):
-        hierarchy = Hierarchy.load(cache, operator_format="auto")
-        log(f"[bunny] hierarchy {hierarchy.actual_hierarchy} "
-            f"from cache in {time.time()-t0:.1f}s")
-    else:
-        hierarchy = build_hierarchy(
-            mesh, [128, 512, 1024], n_modes=10,
-            sampler_type="farthest_point", seed=0, operator_format="auto")
-        try:
-            hierarchy.save(cache)
-        except Exception as e:
-            log(f"[bunny] cache save skipped: {e}")
-        log(f"[bunny] hierarchy {hierarchy.actual_hierarchy} "
-            f"in {time.time()-t0:.1f}s")
+    hierarchy = bunny_hierarchy()
 
     cfg = Config(
         n_modes=10,
@@ -161,7 +212,7 @@ def bench_large_n(n: int = 300_000, k: int = 20) -> dict:
 
     from eigenpinns_tpu.geometry import point_cloud_laplacian
     from eigenpinns_tpu.solvers.direct import train_joint
-    from eigenpinns_tpu.sparse import BSRTile, Diagonal, bsr_spmm_gram
+    from eigenpinns_tpu.sparse import BSRTile, Diagonal
 
     X = make_cloud(n)
     t0 = time.time()
@@ -187,25 +238,8 @@ def bench_large_n(n: int = 300_000, k: int = 20) -> dict:
     kk = 128
     U = jnp.asarray(np.random.default_rng(1).normal(
         size=(n, kk)).astype(np.float32))
-    R = 50
 
-    def measure_spmm(op):
-        @jax.jit
-        def chained(op, U):
-            def it(c, _):
-                W, G = bsr_spmm_gram(op, c)
-                return W / (1e-6 + jnp.max(jnp.abs(W))), G
-            return jax.lax.scan(it, U, None, length=R)
-
-        c, _ = chained(op, U)
-        float(jnp.sum(c))
-        best = np.inf
-        for _ in range(5):
-            t0 = time.time()
-            c, _ = chained(op, U)
-            float(jnp.sum(c))
-            best = min(best, time.time() - t0)
-        return best / R
+    from eigenpinns_tpu.sparse.bsr import bsr_spmm_hbm_bytes
 
     peak = peak_flops_for(jax.devices()[0])
     # Executed FLOPs: strip matmuls (2 * strip_rows * strip_cols * k)
@@ -216,16 +250,8 @@ def bench_large_n(n: int = 300_000, k: int = 20) -> dict:
     spmm_lines = {}
     for prec in ("highest", "bf16"):
         op = K_op.with_precision(prec)
-        t_spmm = measure_spmm(op)
-        strip_b = op.data.nbytes   # already dtype-sized (bf16 = half)
-        if op.gcid is not None:
-            # Grouped-union kernel: one gather per union slot per group.
-            gather_b = op.gcid.shape[0] * op.gcid.shape[1] * 128 * kk * 4
-        else:
-            gather_b = op.n_chunks * op.chunk * 128 * kk * 4
-        moved = (strip_b
-                 + gather_b                                # U tile gathers
-                 + op.n_row_tiles * 128 * kk * 4)          # output write
+        t_spmm = chained_spmm_time(op, U)
+        moved = bsr_spmm_hbm_bytes(op, kk)   # matches dispatched kernel
         achieved = flops / t_spmm
         spmm_lines[prec] = (t_spmm, achieved, moved / t_spmm)
         log(f"[{n//1000}k] strip-BSR SpMM+Gram k={kk} [{prec}]: "

@@ -655,15 +655,34 @@ def bsr_spmm_pallas(A: BSRTile, U: jax.Array,
     return W_out[: A.n, : k_orig]
 
 
-def _use_grouped(A: BSRTile, U) -> bool:
+def _grouped_ok(A: BSRTile, k: int, itemsize: int = 4) -> bool:
     import os
 
     if A.gcid is None or os.environ.get("EIGENPINNS_BSR_GROUPED",
                                         "1") == "0":
         return False
-    k = _round_up(U.shape[1], 128)
+    kp = _round_up(k, 128)
     # Double-buffered union must leave headroom in the ~16 MB VMEM.
-    return 2 * A.gcid.shape[1] * A.tile * k * U.dtype.itemsize <= 12 << 20
+    return 2 * A.gcid.shape[1] * A.tile * kp * itemsize <= 12 << 20
+
+
+def _use_grouped(A: BSRTile, U) -> bool:
+    return _grouped_ok(A, U.shape[1], U.dtype.itemsize)
+
+
+def bsr_spmm_hbm_bytes(A: BSRTile, k: int) -> int:
+    """HBM bytes one `bsr_spmm(A, U)` moves for an f32 (n, k) RHS,
+    matching the kernel `_impl` actually dispatches (grouped union vs
+    per-chunk burst — the single source of truth for bench/A-B GB/s
+    lines; the two accountings differ ~4x in gather bytes)."""
+    kp = _round_up(k, 128)
+    strip_b = A.data.nbytes
+    if _grouped_ok(A, k, 4):
+        gather_b = A.gcid.shape[0] * A.gcid.shape[1] * A.tile * kp * 4
+    else:
+        gather_b = A.n_chunks * A.chunk * A.tile * kp * 4
+    out_b = A.n_row_tiles * A.tile * kp * 4
+    return int(strip_b + gather_b + out_b)
 
 
 def _impl(A: BSRTile, U: jax.Array) -> jax.Array:

@@ -153,6 +153,9 @@ def run_scan_loop(
             stopped = True
             break
 
+    wall = time.time() - t0   # training wall only: the probe below runs
+                              # extra (discarded) epochs that must not
+                              # skew epochs_run/wall_time-derived rates
     steady_rate = None
     if timing_chunks > 0:
         probe_carry = carry
@@ -172,7 +175,7 @@ def run_scan_loop(
         del probe_carry, probe_metrics    # probe training state discarded
 
     history = {k: np.concatenate(v) for k, v in history.items()}
-    return LoopResult(carry[0], history, epochs_run, time.time() - t0,
+    return LoopResult(carry[0], history, epochs_run, wall,
                       stopped, chunk_times,
                       carry[3] if track_best else None,
                       steady_rate)

@@ -34,9 +34,10 @@ def main(n=300_000, kk=128):
     import jax
     import jax.numpy as jnp
 
-    from bench import make_cloud, peak_flops_for
+    from bench import chained_spmm_time, make_cloud, peak_flops_for
     from eigenpinns_tpu.geometry import point_cloud_laplacian
-    from eigenpinns_tpu.sparse import BSRTile, bsr_spmm_gram
+    from eigenpinns_tpu.sparse import BSRTile
+    from eigenpinns_tpu.sparse.bsr import bsr_spmm_hbm_bytes
 
     print("devices:", jax.devices())
     X = make_cloud(n)
@@ -46,29 +47,7 @@ def main(n=300_000, kk=128):
 
     U = jnp.asarray(np.random.default_rng(1).normal(
         size=(n, kk)).astype(np.float32))
-    R = 20
     peak = peak_flops_for(jax.devices()[0])
-
-    tiny = jax.jit(lambda U: jnp.sum(U))
-    float(tiny(U))
-
-    def measure(op):
-        @jax.jit
-        def chained(op, U):
-            def it(c, _):
-                W, G = bsr_spmm_gram(op, c)
-                return W / (1e-6 + jnp.max(jnp.abs(W))), G
-            return jax.lax.scan(it, U, None, length=R)
-
-        c, _ = chained(op, U)
-        float(jnp.sum(c))
-        best = np.inf
-        for _ in range(5):
-            t0 = time.time()
-            c, _ = chained(op, U)
-            float(jnp.sum(c))
-            best = min(best, time.time() - t0)
-        return best / R   # raw incl. one readback: strict lower bound
 
     rows = []
     for C, G in ((4, 0), (8, 32), (16, 32)):
@@ -78,17 +57,10 @@ def main(n=300_000, kk=128):
         cu = 0 if op0.gcid is None else op0.gcid.shape[1]
         for prec in ("highest", "high", "bf16"):
             op = op0.with_precision(prec)
-            t = measure(op)
+            t = chained_spmm_time(op, U)
             flops = (2.0 * op.data.shape[0] * op.data.shape[1] * kk
                      + 2.0 * n * kk * kk)
-            strip_b = op.data.nbytes  # dtype-sized (bf16 = half)
-            if op.gcid is not None:
-                gather_b = (op.gcid.shape[0] * op.gcid.shape[1]
-                            * 128 * kk * 4)
-            else:
-                gather_b = op.n_chunks * op.chunk * 128 * kk * 4
-            moved = (strip_b + gather_b
-                     + op.n_row_tiles * 128 * kk * 4)          # out write
+            moved = bsr_spmm_hbm_bytes(op, kk)  # dispatched-kernel bytes
             rows.append((C, G, prec, t * 1e3, flops / t / 1e12,
                          flops / t / peak, moved / t / 1e12))
             print(f"C={C:2d} G={G:2d} C_u={cu:2d} prec={prec:8s}: "

@@ -37,15 +37,11 @@ def main():
     import eigenpinns_tpu
 
     eigenpinns_tpu.warmup_transfer_async()
+    from bench import bunny_hierarchy
     from eigenpinns_tpu.configs import Config
-    from eigenpinns_tpu.geometry import load_mesh
-    from eigenpinns_tpu.sampling import build_hierarchy
     from eigenpinns_tpu.solvers.multigrid import MultigridTrainer
 
-    mesh = load_mesh("/root/reference/resources/bunny.obj")
-    h = build_hierarchy(mesh, [128, 512, 1024], n_modes=10,
-                        sampler_type="farthest_point", seed=0,
-                        operator_format="auto")
+    h = bunny_hierarchy()   # same cached hierarchy the headline uses
     base = dict(n_modes=10, hierarchy=[128, 512, 1024],
                 hidden_layers=[256] * 6, epochs=2000,
                 corrector_scale=10.0, weight_residual=1000.0,
