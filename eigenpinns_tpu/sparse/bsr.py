@@ -419,9 +419,12 @@ def bsr_spmm_pallas_grouped(A: BSRTile, U: jax.Array,
     fetched once per G row tiles instead of once per referencing chunk
     slot, cutting the dominant HBM traffic by ~G*W/(W+G). The per-chunk
     matmul splits into C (T, T) x (T, k) dots reading the union buffer
-    at lcid-offsets; accumulation into the rowid-indexed resident
-    output block is unchanged. Entering group g issues group g+1's
-    union gathers, which then have a full group of matmuls to land."""
+    at lcid-offsets, accumulated straight into the rowid-indexed
+    resident output block; PAD slots (real slots are a per-chunk
+    prefix) are SKIPPED via a prefetched valid-count — at f32-HIGHEST
+    every pad zero would cost 6 MXU passes (~26% of the chunk=8 strip).
+    Entering group g issues group g+1's union gathers, which then have
+    a full group of matmuls to land."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -440,9 +443,20 @@ def bsr_spmm_pallas_grouped(A: BSRTile, U: jax.Array,
     rowid = jnp.asarray(A.rowid).astype(jnp.int32)
     gid = jnp.asarray(A.gid).astype(jnp.int32)
     n_groups = A.gcid.shape[0]
+    # Real (non-pad) slots per chunk: slots fill each row tile's chunks
+    # in order, so chunk s of row tile r holds
+    # clip(nw[r] - (s - chunk_start[r]) * C, 0, C) real slots.
+    rowid_np = np.asarray(A.rowid)
+    nw_np = np.asarray(A.nw)
+    first_chunk_of_row = np.concatenate(
+        ([0], np.cumsum(np.bincount(rowid_np,
+                                    minlength=n_rt))))[:-1]
+    slot0 = (np.arange(S) - first_chunk_of_row[rowid_np]) * C
+    nv = np.clip(nw_np[rowid_np] - slot0, 0, C).astype(np.int32)
+    nv = jnp.asarray(nv)
 
-    def kernel(gcid_ref, lcid_ref, rowid_ref, gid_ref, strip_ref, u_ref,
-               out_ref, ubuf, sem):
+    def kernel(gcid_ref, lcid_ref, rowid_ref, gid_ref, nv_ref, strip_ref,
+               u_ref, out_ref, ubuf, sem):
         s = pl.program_id(0)
         g = gid_ref[s]
 
@@ -479,49 +493,46 @@ def bsr_spmm_pallas_grouped(A: BSRTile, U: jax.Array,
         slot = g % 2
         base = s * C
 
-        def tile_dot(j, acc):
+        def tile_dot(j):
             u_t = ubuf[slot, pl.ds(lcid_ref[base + j] * T, T), :]
             a_t = strip_ref[:, j * T:(j + 1) * T]
             if A.mxu_precision == "highest":
-                return acc + jnp.dot(a_t, u_t,
-                                     precision=jax.lax.Precision.HIGHEST,
-                                     preferred_element_type=jnp.float32)
+                return jnp.dot(a_t, u_t,
+                               precision=jax.lax.Precision.HIGHEST,
+                               preferred_element_type=jnp.float32)
             elif A.mxu_precision == "bf16":
-                return acc + jnp.dot(a_t, u_t.astype(jnp.bfloat16),
-                                     preferred_element_type=jnp.float32)
+                return jnp.dot(a_t, u_t.astype(jnp.bfloat16),
+                               preferred_element_type=jnp.float32)
             ah = a_t.astype(jnp.bfloat16)
             al = (a_t - ah.astype(jnp.float32)).astype(jnp.bfloat16)
             uh = u_t.astype(jnp.bfloat16)
             ul = (u_t - uh.astype(jnp.float32)).astype(jnp.bfloat16)
-            return (acc
-                    + jnp.dot(ah, uh, preferred_element_type=jnp.float32)
+            return (jnp.dot(ah, uh, preferred_element_type=jnp.float32)
                     + jnp.dot(al, uh, preferred_element_type=jnp.float32)
                     + jnp.dot(ah, ul, preferred_element_type=jnp.float32))
-
-        w = jnp.zeros((T, k), jnp.float32)
-        for j in range(C):
-            w = tile_dot(j, w)
 
         prev = rowid_ref[jnp.maximum(s - 1, 0)]
         first = jnp.logical_or(s == 0, rowid_ref[s] != prev)
 
         @pl.when(first)
         def _():
-            out_ref[:] = w.astype(out_ref.dtype)
+            out_ref[:] = jnp.zeros((T, k), out_ref.dtype)
 
-        @pl.when(jnp.logical_not(first))
-        def _():
-            out_ref[:] = out_ref[:] + w.astype(out_ref.dtype)
+        n_valid = nv_ref[s]
+        for j in range(C):
+            @pl.when(j < n_valid)
+            def _(j=j):
+                out_ref[:] = out_ref[:] + tile_dot(j).astype(out_ref.dtype)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(S,),
         in_specs=[
             pl.BlockSpec((T, C * T), lambda s, *pf: (s, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec((T, k),
-                               lambda s, gcid, lcid, rowid, gid:
+                               lambda s, gcid, lcid, rowid, gid, nv:
                                (rowid[s], 0)),
         scratch_shapes=[
             pltpu.VMEM((2, C_u * T, k), U.dtype),
@@ -533,7 +544,7 @@ def bsr_spmm_pallas_grouped(A: BSRTile, U: jax.Array,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_rt * T, k), U.dtype),
         interpret=interpret,
-    )(gcid, lcid, rowid, gid, A.data, Up)
+    )(gcid, lcid, rowid, gid, nv, A.data, Up)
     return W_out[: A.n, : k_orig]
 
 

@@ -787,3 +787,12 @@ def test_bsr_grouped_gather_kernel(rng):
     assert op0.gcid is None
     opt, _ = BSRTile.from_scipy(A, static_layout=False)
     assert opt.gcid is None
+    # Family-style chunk padding: pad chunks carry nv=0 real slots and
+    # the zero-skip path must leave their output blocks untouched.
+    base, _ = BSRTile.from_scipy(A, with_transpose=False)
+    opp, _ = BSRTile.from_scipy(A, with_transpose=False,
+                                pad_chunks_to=base.n_chunks + 5)
+    assert opp.gcid is not None
+    ref = np.asarray(bsr_spmm_reference(opp, U))
+    W = np.asarray(bsr_spmm_pallas_grouped(opp, U, interpret=True))
+    assert np.abs(W - ref).max() / np.abs(ref).max() < 1e-5
