@@ -74,7 +74,9 @@ def subsample_hierarchy(n: int, levels: list[int], method: str = "uniform",
                         K=None, seed: int = 0) -> list[np.ndarray]:
     """Nested index hierarchies for matrix-only multigrid
     (`build_hierarchy`, downsampling_toy_example.ipynb cell 0:20-57):
-    'uniform' (evenly spaced), 'random', 'leverage' (row-norm weighted).
+    'uniform' (evenly spaced), 'random', 'leverage' (row-norm weighted),
+    'maxdist' (greedy farthest-point selection using |K| row entries as
+    the distance proxy — cell 15's `farthest_point_sampling`).
     Returns indices per level, coarsest first, full range appended.
     """
     out = []
@@ -91,6 +93,23 @@ def subsample_hierarchy(n: int, levels: list[int], method: str = "uniform",
             scores = np.asarray(abs(K).sum(axis=1)).ravel()
             p = scores / scores.sum()
             idx = np.sort(rng.choice(n, size=m, replace=False, p=p))
+        elif method == "maxdist":
+            # FPS in the matrix graph: greedily pick the index farthest
+            # (under min-coupling |K[last, :]|) from all picked ones —
+            # "better coverage" coarse sets without coordinates.
+            if K is None:
+                raise ValueError("maxdist sampling needs K")
+            Ka = abs(K.tocsr()) if hasattr(K, "tocsr") else np.abs(K)
+            picked = [0]
+            dist = np.full(n, np.inf)
+            for _ in range(m - 1):
+                row = np.asarray(
+                    Ka[picked[-1]].todense()
+                    if hasattr(Ka, "todense") else Ka[picked[-1]]).ravel()
+                dist = np.minimum(dist, row)
+                dist[picked] = -np.inf
+                picked.append(int(np.argmax(dist)))
+            idx = np.sort(np.asarray(picked))
         else:
             raise ValueError(f"unknown method '{method}'")
         out.append(idx)

@@ -34,7 +34,7 @@ def test_verify_eigenpairs_oracle():
 
 def test_subsample_hierarchy_methods():
     K, _ = generate_test_matrices(100, "laplacian")
-    for method in ("uniform", "random", "leverage"):
+    for method in ("uniform", "random", "leverage", "maxdist"):
         levels = subsample_hierarchy(100, [20, 50], method=method, K=K)
         assert [len(l) for l in levels] == [20, 50, 100]
         for l in levels:
