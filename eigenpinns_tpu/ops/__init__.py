@@ -11,12 +11,17 @@ them under one import for discoverability:
 
 from eigenpinns_tpu.sparse import (  # noqa: F401
     BandedELL,
+    BSRTile,
     Diagonal,
+    RollingBanded,
     SparseELL,
     as_operator,
     banded_spmm,
     banded_spmm_pallas,
     banded_spmm_reference,
+    bsr_spmm,
+    bsr_spmm_gram,
+    rolling_spmm,
     block_diag_ell,
     gcn_normalized_adjacency,
     gram,
