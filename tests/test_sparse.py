@@ -796,3 +796,34 @@ def test_bsr_grouped_gather_kernel(rng):
     ref = np.asarray(bsr_spmm_reference(opp, U))
     W = np.asarray(bsr_spmm_pallas_grouped(opp, U, interpret=True))
     assert np.abs(W - ref).max() / np.abs(ref).max() < 1e-5
+
+
+def test_bsr_grouped_asymmetric_vjp(rng):
+    """Asymmetric operators through the grouped kernel: the transpose
+    operand carries its OWN grouped tables, and bsr_spmm's scatter-free
+    VJP (dU = A^T g) matches the analytic transpose product."""
+    import jax
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+
+    from eigenpinns_tpu.sparse.bsr import (BSRTile, bsr_spmm,
+                                           bsr_spmm_pallas_grouped)
+
+    r = np.random.default_rng(9)
+    n = 800
+    rows = r.integers(0, n, 4 * n)
+    cols = np.clip(rows + r.integers(-90, 90, 4 * n), 0, n - 1)
+    A = sp.coo_matrix((r.normal(size=4 * n), (rows, cols)),
+                      shape=(n, n)).tocsr()          # asymmetric
+    op, perm = BSRTile.from_scipy(A)
+    assert op.transpose_bsr is not None
+    assert op.transpose_bsr.gcid is not None
+    U = jnp.asarray(r.normal(size=(n, 5)).astype(np.float32))
+    Ap = A[perm][:, perm]
+    ref = Ap @ np.asarray(U)
+    W = np.asarray(bsr_spmm_pallas_grouped(op, U, interpret=True))
+    assert np.abs(W - ref).max() / np.abs(ref).max() < 1e-5
+    G = jnp.asarray(r.normal(size=(n, 5)).astype(np.float32))
+    g = jax.grad(lambda u: jnp.vdot(G, bsr_spmm(op, u)))(U)
+    ref_g = Ap.T @ np.asarray(G)
+    assert np.abs(np.asarray(g) - ref_g).max() / np.abs(ref_g).max() < 1e-5
