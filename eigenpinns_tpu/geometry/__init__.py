@@ -11,6 +11,8 @@ from eigenpinns_tpu.geometry.fem import (
     element_mass,
     assemble_coo,
     assemble_stiffness_mass,
+    element_force,
+    assemble_force,
     gradient_operator,
 )
 from eigenpinns_tpu.geometry.geodesics import heat_geodesics, geodesic_ground_truth
@@ -28,7 +30,8 @@ from eigenpinns_tpu.geometry.point_cloud import (
 __all__ = [
     "TriMesh", "load_obj", "save_obj", "load_mesh", "normalize_mesh",
     "triangle_geometry", "element_stiffness", "element_mass",
-    "assemble_coo", "assemble_stiffness_mass", "gradient_operator",
+    "assemble_coo", "assemble_stiffness_mass", "element_force",
+    "assemble_force", "gradient_operator",
     "heat_geodesics", "geodesic_ground_truth",
     "project_points", "project_points_device",
     "point_cloud_laplacian", "mesh_laplacian", "local_triangulations",

@@ -164,6 +164,40 @@ def assemble_stiffness_mass(mesh, lumped: bool = False):
     return K, M
 
 
+def element_force(B: jax.Array, J: jax.Array, X: jax.Array) -> jax.Array:
+    """Per-element P1 load vector f = B^T X / 2.
+
+    Parity with the reference's `Mesh.ForceVector` (src/Mesh.py:235-236;
+    J is accepted but unused there too). X: (F, 2) is a constant
+    per-element vector field expressed in the element's LOCAL 2D frame
+    (the reference's "not rotated" Xnr, src/Mesh.py:289-291). Since
+    grad(phi) = B/J in that frame and the element area is J/2,
+    f_i = integral grad(phi_i) . X = B^T X / 2 — the divergence-type
+    load the heat-method geodesic Poisson step assembles
+    (src/Mesh.py:283-292).
+    """
+    del J  # kept for signature parity with the reference
+    return jnp.einsum("fde,fd->fe", B, X) / 2.0
+
+
+def assemble_force(verts: jax.Array, faces: jax.Array,
+                   X: jax.Array) -> jax.Array:
+    """Assembled (V,) load vector for a per-element local-frame field X.
+
+    Vectorized segment-sum assembly of `element_force` over all F
+    elements (the reference accumulates per-element in a Python loop,
+    src/Mesh.py:283-292). Exact identity used by the test: if
+    X_f = (B_f u[faces_f]) / J_f (the local-frame gradient of a nodal
+    field u), then assemble_force == K @ u with K the assembled P1
+    stiffness — integration by parts at the discrete level.
+    """
+    B, J = triangle_geometry(verts, faces)
+    f_loc = element_force(B, J, X)  # (F, 3)
+    n = verts.shape[0]
+    return jax.ops.segment_sum(f_loc.reshape(-1), faces.reshape(-1),
+                               num_segments=n)
+
+
 def gradient_operator(verts: jax.Array, faces: jax.Array):
     """Per-element 3D gradient operator.
 

@@ -58,6 +58,7 @@ Grams/Rayleigh quotients stay f32-HIGHEST.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any
 
 import jax
@@ -65,6 +66,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from eigenpinns_tpu.sparse.banded import _round_up
+
+# Gather-ring depth default. Read ONCE at import: the value is baked
+# into traced kernels at trace time, so a mid-process env change would
+# silently not apply to already-jit-cached shapes (ADVICE r3). For
+# in-process A/Bs pass bsr_spmm_pallas(..., prefetch_depth=...).
+_PREFETCH_DEPTH = int(os.environ.get("EIGENPINNS_BSR_PREFETCH_DEPTH", "4"))
 
 
 class _Static:
@@ -549,11 +556,18 @@ def bsr_spmm_pallas_grouped(A: BSRTile, U: jax.Array,
 
 
 def bsr_spmm_pallas(A: BSRTile, U: jax.Array,
-                    interpret: bool = False) -> jax.Array:
+                    interpret: bool = False,
+                    prefetch_depth: int | None = None) -> jax.Array:
     """One grid step per chunk: burst-gather the chunk's U tiles
     (double-buffered) + one (T, C*T) x (C*T, k) MXU matmul, accumulated
     into the rowid-indexed output block (resident across the row tile's
-    consecutive chunks)."""
+    consecutive chunks).
+
+    `prefetch_depth` selects the gather-ring depth explicitly; None uses
+    the module default `_PREFETCH_DEPTH` (the EIGENPINNS_BSR_PREFETCH_DEPTH
+    env var, read ONCE at import — a later env change cannot silently
+    diverge from already-jit-cached executables; pass the parameter for
+    in-process A/Bs, ADVICE r3)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -581,9 +595,7 @@ def bsr_spmm_pallas(A: BSRTile, U: jax.Array,
     # waiting on gathers. A deeper prefetch ring (depth D, issue step
     # s+D-1's burst at step s) gives each burst D-1 matmul-times to
     # land.
-    import os
-
-    D = int(os.environ.get("EIGENPINNS_BSR_PREFETCH_DEPTH", "4"))
+    D = _PREFETCH_DEPTH if prefetch_depth is None else int(prefetch_depth)
     D = max(2, min(D, max(S, 2)))
 
     def kernel(cid_ref, rowid_ref, strip_ref, u_ref, out_ref, ubuf, sem):
@@ -667,8 +679,6 @@ def bsr_spmm_pallas(A: BSRTile, U: jax.Array,
 
 
 def _grouped_ok(A: BSRTile, k: int, itemsize: int = 4) -> bool:
-    import os
-
     if A.gcid is None or os.environ.get("EIGENPINNS_BSR_GROUPED",
                                         "1") == "0":
         return False
@@ -681,18 +691,22 @@ def _use_grouped(A: BSRTile, U) -> bool:
     return _grouped_ok(A, U.shape[1], U.dtype.itemsize)
 
 
-def bsr_spmm_hbm_bytes(A: BSRTile, k: int) -> int:
-    """HBM bytes one `bsr_spmm(A, U)` moves for an f32 (n, k) RHS,
-    matching the kernel `_impl` actually dispatches (grouped union vs
-    per-chunk burst — the single source of truth for bench/A-B GB/s
-    lines; the two accountings differ ~4x in gather bytes)."""
+def bsr_spmm_hbm_bytes(A: BSRTile, k: int, rhs_itemsize: int = 4) -> int:
+    """HBM bytes one `bsr_spmm(A, U)` moves for an (n, k) RHS of
+    `rhs_itemsize` bytes/element (4 = f32 default, 2 = bf16), matching
+    the kernel `_impl` actually dispatches (grouped union vs per-chunk
+    burst — the single source of truth for bench/A-B GB/s lines; the two
+    accountings differ ~4x in gather bytes). The itemsize is threaded
+    through the dispatch predicate too, so a bf16 RHS models the branch
+    the dispatcher really takes (ADVICE r3)."""
     kp = _round_up(k, 128)
     strip_b = A.data.nbytes
-    if _grouped_ok(A, k, 4):
-        gather_b = A.gcid.shape[0] * A.gcid.shape[1] * A.tile * kp * 4
+    if _grouped_ok(A, k, rhs_itemsize):
+        gather_b = (A.gcid.shape[0] * A.gcid.shape[1] * A.tile * kp
+                    * rhs_itemsize)
     else:
-        gather_b = A.n_chunks * A.chunk * A.tile * kp * 4
-    out_b = A.n_row_tiles * A.tile * kp * 4
+        gather_b = A.n_chunks * A.chunk * A.tile * kp * rhs_itemsize
+    out_b = A.n_row_tiles * A.tile * kp * rhs_itemsize
     return int(strip_b + gather_b + out_b)
 
 

@@ -78,6 +78,38 @@ def test_fem_jax_matches_numpy(coarse1_mesh):
     assert abs(K32 - K64).max() / denom < 1e-5
 
 
+def test_force_vector_divergence_identity(coarse1_mesh):
+    """ForceVector parity (src/Mesh.py:235-236): f_el = B^T X / 2, and
+    the exact discrete integration-by-parts identity — assembling the
+    per-element local-frame gradient of a nodal field u as the load
+    gives exactly K @ u."""
+    import jax.numpy as jnp
+
+    from eigenpinns_tpu.geometry import assemble_force, element_force
+    from eigenpinns_tpu.geometry.fem import triangle_geometry
+
+    verts = jnp.asarray(coarse1_mesh.verts, jnp.float32)
+    faces = jnp.asarray(coarse1_mesh.faces)
+    B, J = triangle_geometry(verts, faces)
+
+    # (a) formula parity against a per-element numpy loop.
+    rng = np.random.default_rng(0)
+    X = rng.normal(size=(faces.shape[0], 2)).astype(np.float32)
+    f = np.asarray(element_force(B, J, jnp.asarray(X)))
+    Bn = np.asarray(B)
+    for k in (0, 7, 101):
+        assert np.abs(f[k] - Bn[k].T @ X[k] / 2.0).max() < 1e-6
+
+    # (b) divergence identity: X_f = (B_f u_el) / J_f  =>  F == K u.
+    u = rng.normal(size=(coarse1_mesh.n_verts,)).astype(np.float32)
+    u_el = np.asarray(u)[np.asarray(faces)]            # (F, 3)
+    Xg = np.einsum("fde,fe->fd", Bn, u_el) / np.asarray(J)[:, None]
+    F = np.asarray(assemble_force(verts, faces, jnp.asarray(Xg)))
+    K, _ = assemble_stiffness_mass(coarse1_mesh)
+    ref = K @ u
+    assert np.abs(F - ref).max() / max(np.abs(ref).max(), 1e-9) < 1e-4
+
+
 def test_lumped_mass(coarse1_mesh):
     _, Mc = assemble_stiffness_mass(coarse1_mesh, lumped=False)
     _, Ml = assemble_stiffness_mass(coarse1_mesh, lumped=True)

@@ -256,10 +256,10 @@ def test_multigrid_sharded_matches_single_device(small_hierarchy):
     SpMMs, replicated params) reproduces the single-device trainer:
     same loss trajectory, same refined eigenvalues (VERDICT r2 item 3's
     done-criterion). The loss-trajectory bound is the strong invariant;
-    the post-train Rayleigh-Ritz eigenvalues of the LEARNED subspace
-    amplify psum summation-order noise through training chaos, so they
-    get a looser bound (observed: interior modes ~1e-4, edge mode up to
-    ~1e-2 at 120 epochs)."""
+    both it and the post-train Rayleigh-Ritz eigenvalues of the LEARNED
+    subspace amplify psum summation-order noise through training chaos,
+    so both get the 1e-2 bound (a 1e-3 trajectory bound was flaky:
+    failed-then-passed on identical reruns, ADVICE r3)."""
     cfg = small_config(epochs=120, polish_iters=0,
                        loss_mxu_precision="highest",
                        weight_projection=0.1)
@@ -268,7 +268,7 @@ def test_multigrid_sharded_matches_single_device(small_hierarchy):
     l1 = np.asarray(r1.history["loss"])
     l8 = np.asarray(r8.history["loss"])
     d = np.abs(l1 - l8) / np.maximum(np.abs(l1), 1e-9)
-    assert d.max() < 1e-3, d.max()
+    assert d.max() < 1e-2, d.max()
     lam_d = np.abs(r1.eigenvalues - r8.eigenvalues) / np.maximum(
         np.abs(r1.eigenvalues), 1e-6)
     assert lam_d.max() < 2e-2, (r1.eigenvalues, r8.eigenvalues)
