@@ -130,6 +130,43 @@ def _cot_at(lengths: np.ndarray, c: int) -> float:
     return (a * a + b * b - lc * lc) / (4.0 * np.sqrt(area2))
 
 
+def _group_sides_by_edge(tris: np.ndarray):
+    """Map each undirected vertex pair (u, v) to the list of triangle
+    sides [(t, corner), ...] lying on it (corner = the opposite corner)."""
+    from collections import defaultdict
+
+    by_vpair: dict = defaultdict(list)
+    for t in range(tris.shape[0]):
+        a, b, c = (int(v) for v in tris[t])
+        for (u, v), corner in (((b, c), 0), ((a, c), 1), ((a, b), 2)):
+            key = (u, v) if u < v else (v, u)
+            by_vpair[key].append((t, corner))
+    return by_vpair
+
+
+def _radial_side_order(lst, tris, points, u, v):
+    """Sort the sides on edge (u, v) by the angle of their apex around
+    the edge axis — the gluing order of Sharp & Crane's tufted cover."""
+    if len(lst) < 2:
+        return lst
+    axis = points[v] - points[u]
+    axis = axis / (np.linalg.norm(axis) + 1e-300)
+    ref = None
+    angs = []
+    for t, corner in lst:
+        apex = int(tris[t][corner])
+        w = points[apex] - points[u]
+        w = w - axis * (w @ axis)
+        if ref is None:
+            nw = np.linalg.norm(w)
+            ref = (w / nw if nw > 1e-300
+                   else np.array([1.0, 0.0, 0.0]))
+            ref2 = np.cross(axis, ref)
+        angs.append(np.arctan2(w @ ref2, w @ ref))
+    order = np.argsort(angs)
+    return [lst[i] for i in order]
+
+
 def intrinsic_delaunay_flips(tris: np.ndarray, lengths: np.ndarray,
                              weights: np.ndarray, points: np.ndarray,
                              max_flips: int | None = None):
@@ -152,12 +189,16 @@ def intrinsic_delaunay_flips(tris: np.ndarray, lengths: np.ndarray,
         3D; `points` is used ONLY for the one-time radial pairing;
       * a flip's two triangles average their soup weights.
 
+    `tufted_double_cover` below builds the literal published
+    construction (every face doubled, every edge exactly 2-sided);
+    measured spectrally equivalent on the bunny GT (docs/PARITY.md §
+    operator-fidelity ledger), so this cheaper single-copy pairing is
+    the default.
+
     Mutates and returns (tris, lengths, weights). Uses the C++ kernel
     (csrc, epk_delaunay_flips — an exact port incl. the pairing order)
     when built; the Python loop below is the reference path.
     """
-    from collections import defaultdict, deque
-
     T = tris.shape[0]
     if max_flips is None:
         max_flips = 30 * T
@@ -175,34 +216,11 @@ def intrinsic_delaunay_flips(tris: np.ndarray, lengths: np.ndarray,
         return tris, lengths, weights
 
     # ---- initial gluing: radial pairing per vertex-pair edge ----------
-    by_vpair: dict = defaultdict(list)
-    for t in range(T):
-        a, b, c = (int(v) for v in tris[t])
-        for (u, v), corner in (((b, c), 0), ((a, c), 1), ((a, b), 2)):
-            key = (u, v) if u < v else (v, u)
-            by_vpair[key].append((t, corner))
-
     sides: dict = {}          # eid -> [(t, corner), (t, corner)]
     tri_eid = -np.ones((T, 3), dtype=np.int64)
     next_eid = 0
-    for (u, v), lst in by_vpair.items():
-        if len(lst) >= 2:
-            axis = points[v] - points[u]
-            axis = axis / (np.linalg.norm(axis) + 1e-300)
-            ref = None
-            angs = []
-            for t, corner in lst:
-                apex = int(tris[t][corner])
-                w = points[apex] - points[u]
-                w = w - axis * (w @ axis)
-                if ref is None:
-                    nw = np.linalg.norm(w)
-                    ref = (w / nw if nw > 1e-300
-                           else np.array([1.0, 0.0, 0.0]))
-                    ref2 = np.cross(axis, ref)
-                angs.append(np.arctan2(w @ ref2, w @ ref))
-            order = np.argsort(angs)
-            lst = [lst[i] for i in order]
+    for (u, v), lst in _group_sides_by_edge(tris).items():
+        lst = _radial_side_order(lst, tris, points, u, v)
         for j in range(0, len(lst) - 1, 2):
             s = [lst[j], lst[j + 1]]
             sides[next_eid] = s
@@ -214,6 +232,71 @@ def intrinsic_delaunay_flips(tris: np.ndarray, lengths: np.ndarray,
             sides[next_eid] = [(t, corner)]
             tri_eid[t, corner] = next_eid
             next_eid += 1
+
+    _flip_core(tris, lengths, weights, sides, tri_eid, max_flips)
+    return tris, lengths, weights
+
+
+def tufted_double_cover(tris: np.ndarray, lengths: np.ndarray,
+                        weights: np.ndarray, points: np.ndarray,
+                        max_flips: int | None = None):
+    """Sharp & Crane's tufted double cover + intrinsic Delaunay flips.
+
+    The literal published construction (sec 3.3): every triangle is
+    doubled (front + back copy); around each vertex-pair edge the sides
+    are sorted radially and the BACK copy of side i glues to the FRONT
+    copy of side i+1 (cyclically), so EVERY edge — including nonmanifold
+    soup edges and boundary edges — becomes exactly 2-sided and
+    participates in flips. Weights are halved so stiffness/mass totals
+    match one surface cover; the generalized spectrum is then directly
+    comparable to the single cover's.
+
+    Returns new (tris, lengths, weights) of length 2T; inputs are not
+    mutated. Python-only (no csrc path): measured on the reference
+    bunny GT this is spectrally equivalent to the default single-copy
+    radial pairing (mean 0.91%/max 1.83% vs 0.93%/1.82% — docs/PARITY.md
+    ledger), so it is exposed for completeness/verification rather than
+    as the default.
+    """
+    T = tris.shape[0]
+    if max_flips is None:
+        max_flips = 60 * T
+    tris2 = np.concatenate([tris, tris], axis=0).astype(np.int64)
+    lengths2 = np.concatenate([lengths, lengths], axis=0)
+    weights2 = 0.5 * np.concatenate([weights, weights], axis=0)
+
+    sides: dict = {}
+    tri_eid = -np.ones((2 * T, 3), dtype=np.int64)
+    next_eid = 0
+    for (u, v), lst in _group_sides_by_edge(tris).items():
+        lst = _radial_side_order(lst, tris, points, u, v)
+        m = len(lst)
+        for i in range(m) if m >= 2 else [0]:
+            if m >= 2:
+                tb, cb = lst[i]            # back copy of side i ...
+                ta, ca = lst[(i + 1) % m]  # ... to front copy of side i+1
+                s = [(tb + T, cb), (ta, ca)]
+            else:
+                t, c = lst[0]              # lone side: glue its two copies
+                s = [(t, c), (t + T, c)]
+            sides[next_eid] = s
+            for t, corner in s:
+                tri_eid[t, corner] = next_eid
+            next_eid += 1
+
+    _flip_core(tris2, lengths2, weights2, sides, tri_eid, max_flips)
+    return tris2, lengths2, weights2
+
+
+def _flip_core(tris, lengths, weights, sides, tri_eid, max_flips):
+    """Intrinsic-Delaunay flip queue over a pre-glued edge structure.
+
+    `sides` maps edge id -> list of (triangle, corner) sides (length 1
+    or 2; only 2-sided edges flip); `tri_eid` is the inverse (T, 3) map.
+    Mutates tris/lengths/weights/sides/tri_eid in place and returns the
+    number of flips performed.
+    """
+    from collections import deque
 
     queue = deque(e for e, s in sides.items() if len(s) == 2)
     in_queue = set(queue)
@@ -272,24 +355,24 @@ def intrinsic_delaunay_flips(tris: np.ndarray, lengths: np.ndarray,
         sides[eid] = [(t1, 0), (t2, 0)]
         tri_eid[t1, 0] = tri_eid[t2, 0] = eid
 
-        def _rewire(e, side_old_t, new_side):
+        def _rewire(e, side_old, new_side):
             lst = sides[e]
-            for i, (tt, _) in enumerate(lst):
-                if tt == side_old_t:
+            for i, so in enumerate(lst):
+                if so == side_old:
                     lst[i] = new_side
                     break
             tri_eid[new_side[0], new_side[1]] = e
 
-        _rewire(e_pc, t1, (t1, 2))   # (p, apex1): opposite apex2 in t1
-        _rewire(e_pd, t2, (t1, 1))   # (p, apex2): opposite apex1 in t1
-        _rewire(e_qc, t1, (t2, 2))   # (q, apex1): opposite apex2 in t2
-        _rewire(e_qd, t2, (t2, 1))   # (q, apex2): opposite apex1 in t2
+        _rewire(e_pc, (t1, (c1 + 2) % 3), (t1, 2))   # (p, apex1)
+        _rewire(e_pd, (t2, corners2.index(q)), (t1, 1))   # (p, apex2)
+        _rewire(e_qc, (t1, (c1 + 1) % 3), (t2, 2))   # (q, apex1)
+        _rewire(e_qd, (t2, corners2.index(p)), (t2, 1))   # (q, apex2)
         n_flips += 1
         for e in (eid, e_pc, e_pd, e_qc, e_qd):
             if e not in in_queue and len(sides.get(e, ())) == 2:
                 queue.append(e)
                 in_queue.add(e)
-    return tris, lengths, weights
+    return n_flips
 
 
 def cotan_laplacian_from_soup(
@@ -309,7 +392,10 @@ def cotan_laplacian_from_soup(
     C++ robust_laplacian output). "auto" enables it whenever the csrc
     kernel is built (seconds at millions of triangles); without the
     native build the Python loop (~1.2 ms per 1k triangles) is only
-    used below 100k triangles.
+    used below 100k triangles. "tufted" runs the flips on the literal
+    tufted double cover (`tufted_double_cover`; Python-only, so
+    ~2x the Python flip cost) — spectrally equivalent to the default
+    pairing on the bunny GT, exposed for verification.
     """
     if delaunay_flips == "auto":
         from eigenpinns_tpu.geometry import native as _native
@@ -330,8 +416,12 @@ def cotan_laplacian_from_soup(
         tris = np.array(tris, dtype=np.int64, copy=True)
         w = (np.ones(len(tris)) if tri_weights is None
              else np.array(tri_weights, dtype=np.float64, copy=True))
-        tris, l, w = intrinsic_delaunay_flips(tris, l, w, points)
-        tri_weights = None if tri_weights is None else w
+        if delaunay_flips == "tufted":
+            tris, l, w = tufted_double_cover(tris, l, w, points)
+            tri_weights = w  # halved per copy; totals match one cover
+        else:
+            tris, l, w = intrinsic_delaunay_flips(tris, l, w, points)
+            tri_weights = None if tri_weights is None else w
     l2 = l**2
     # Heron (numerically-stable enough after mollification).
     s = 0.5 * l.sum(axis=1)
@@ -375,6 +465,7 @@ def cotan_laplacian_from_soup(
 def point_cloud_laplacian(
     points: np.ndarray, n_neighbors: int = 38, mollify_factor: float = 1e-5,
     use_native: bool | None = None, frame_neighbors: int | None = None,
+    cover: str = "paired",
 ):
     """(L, M) for a raw point cloud — drop-in for
     `robust_laplacian.point_cloud_laplacian` (src/utils.py:174).
@@ -382,6 +473,10 @@ def point_cloud_laplacian(
     L is symmetric PSD (weak cotan Laplacian), M diagonal lumped mass.
     `use_native=None` auto-selects the C++ triangulation kernel
     (csrc/geometry_kernels.cpp, ~10x the Python path) when built.
+    `cover` picks the flip gluing: "paired" (default; single-copy radial
+    pairing, has the fast csrc path) or "tufted" (the literal Sharp &
+    Crane doubled cover — spectrally equivalent on the bunny GT, see
+    docs/PARITY.md ledger, Python-only).
 
     Defaults (n_neighbors=38, PCA frame over min(n_neighbors, 34); the
     C++ library's own single knob defaults to 30): tuned against the
@@ -414,8 +509,12 @@ def point_cloud_laplacian(
         tris, weights = local_triangulations(
             points, n_neighbors=n_neighbors, return_weights=True,
             frame_neighbors=frame_neighbors)
+    if cover not in ("paired", "tufted"):
+        raise ValueError(f"unknown cover {cover!r}")
+    flips = "tufted" if cover == "tufted" else "auto"
     return cotan_laplacian_from_soup(points, tris, mollify_factor,
-                                     tri_weights=weights)
+                                     tri_weights=weights,
+                                     delaunay_flips=flips)
 
 
 def mesh_laplacian(verts: np.ndarray, faces: np.ndarray,

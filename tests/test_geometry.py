@@ -136,6 +136,43 @@ def test_point_cloud_laplacian_properties(rng):
     assert np.allclose(vals[1:4], 2.0, rtol=0.15)
 
 
+def test_tufted_double_cover_matches_paired(rng):
+    """The literal Sharp-Crane tufted double cover (every face doubled,
+    every edge exactly 2-sided) is spectrally equivalent to the default
+    single-copy radial pairing (docs/PARITY.md round-4 ledger: bunny
+    0.91%/1.83% vs 0.93%/1.82% against the recorded GT)."""
+    from eigenpinns_tpu.geometry.point_cloud import (
+        local_triangulations,
+        tufted_double_cover,
+    )
+
+    x = rng.normal(size=(300, 3))
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    Lp, Mp = point_cloud_laplacian(x, use_native=False, cover="paired")
+    Lt, Mt = point_cloud_laplacian(x, use_native=False, cover="tufted")
+    # Same structural properties as the paired cover.
+    assert abs(Lt - Lt.T).max() < 1e-10
+    assert np.abs(Lt @ np.ones(300)).max() < 1e-9
+    assert Mt.diagonal().min() > 0
+    # Halved per-copy weights keep totals at one surface cover.
+    assert np.isclose(Mt.sum(), Mp.sum(), rtol=0.05)
+    vp = eigsh(Lp, k=6, M=Mp, sigma=-0.01, which="LM")[0]
+    vt = eigsh(Lt, k=6, M=Mt, sigma=-0.01, which="LM")[0]
+    assert np.abs((vt[1:] - vp[1:]) / vp[1:]).max() < 0.05, (vt, vp)
+    # The cover really is doubled and fully glued: 2T triangles, and
+    # every (triangle, corner) side received an edge id.
+    tris, w = local_triangulations(x, n_neighbors=38,
+                                   return_weights=True,
+                                   frame_neighbors=34)
+    p = x[tris]
+    ell = np.stack([np.linalg.norm(p[:, 1] - p[:, 2], axis=1),
+                    np.linalg.norm(p[:, 2] - p[:, 0], axis=1),
+                    np.linalg.norm(p[:, 0] - p[:, 1], axis=1)], axis=1)
+    t2, l2, w2 = tufted_double_cover(tris.astype(np.int64), ell, w, x)
+    assert t2.shape[0] == 2 * tris.shape[0]
+    assert np.isclose(w2.sum(), w.sum(), rtol=1e-12)
+
+
 @pytest.mark.slow
 def test_bunny_ground_truth_eigenvalues(bunny_mesh):
     """Compare with the reference's recorded robust-Laplacian bunny spectrum
