@@ -19,7 +19,11 @@ from eigenpinns_tpu.solvers.direct_sharded import (
     prepare_sharded_problem,
     ShardedDirectResult,
 )
-from eigenpinns_tpu.solvers.deflation import solve_deflation, DeflationResult
+from eigenpinns_tpu.solvers.deflation import (
+    DeflationResult,
+    solve_deflation,
+    solve_deflation_adaptive,
+)
 from eigenpinns_tpu.solvers.schrodinger_driver import (
     solve_schrodinger,
     SchrodingerResult,
@@ -50,6 +54,7 @@ __all__ = [
     "jacobi_smooth", "cg_solve", "coarse_grid_correction",
     "smooth_eigenfunctions", "m_orthonormalize_cholesky",
     "train_joint", "DirectResult", "solve_deflation", "DeflationResult",
+    "solve_deflation_adaptive",
     "train_joint_sharded", "prepare_sharded_problem", "ShardedDirectResult",
     "solve_schrodinger", "SchrodingerResult", "SchrodingerMode",
     "hierarchical_eigensolve", "UpscaleResult", "train_per_level",

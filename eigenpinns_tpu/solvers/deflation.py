@@ -195,3 +195,239 @@ def solve_deflation(
         histories=histories,
         epochs_per_mode=epochs_used,
     )
+
+
+class _AdaptiveState(NamedTuple):
+    params: Any
+    opt_state: Any
+    ema_slope: jax.Array       # EMA of |prev_loss - avg_loss|
+    prev_loss: jax.Array       # inf until the first epoch completes
+    smooth_loss: jax.Array     # EMA(0.99) of the epoch loss
+    best_smooth: jax.Array     # best smoothed loss since last reinit
+    flat_count: jax.Array      # int32: epochs without relative improvement
+    U_found: jax.Array         # (N, n_modes), M-normalized, zero-padded
+    lam_found: jax.Array       # (n_modes,)
+    count: jax.Array           # int32: modes stored so far
+    last_reinit: jax.Array     # int32: epoch of the last store/reinit
+
+
+def solve_deflation_adaptive(
+    K,
+    M,
+    X,
+    n_modes: int,
+    hidden=(64, 64, 64),
+    epochs: int = 20000,
+    scan_chunk: int = 200,
+    lr: float = 1e-3,
+    w_norm: float = 1.0,
+    w_defl: float = 25.0,
+    minibatch: int | None = None,
+    perturb_factor: float = 0.002,
+    trigger: str = "plateau",
+    reinit_threshold: float = 1e-7,
+    plateau_epochs: int = 500,
+    plateau_rtol: float = 1e-3,
+    warmup_epochs: int = 2000,
+    min_epochs_between: int = 200,
+    polish_iters: int = 0,
+    seed: int = 0,
+    log_fn=None,
+    log_every: int = 0,
+) -> DeflationResult:
+    """Adaptive single-network deflation: minibatched collocation +
+    convergence-gated in-loop reinitialization.
+
+    Parity with `train_eigenvalue_pinn_adaptive`
+    (iterative_eigenvalues_on_cloud.ipynb cell 13:148-271): ONE shared
+    network and ONE epoch budget; each epoch perturbs the collocation
+    points (factor x domain scale, clamped to the bounding box),
+    shuffles them into minibatches, and takes one optimizer step per
+    batch with Rayleigh-quotient lambda, u-normalized residual loss,
+    normalization loss, and M-orthogonality to every stored mode. An
+    EMA of the epoch-loss slope (0.75/0.25, cell 13:~230) detects
+    convergence; on trigger the mode is evaluated on the UNperturbed
+    cloud, stored, and the same network is reinitialized in-loop to
+    hunt the next mode — the notebook's fix for a stalled mode. The
+    whole loop (including the reinit, via `lax.cond`) runs inside
+    scan-fused jit chunks.
+
+    TPU-native deviations (documented, not behavioral accidents):
+      * the reference slices the POINTS into minibatches and applies the
+        full N x N sparse operator to the (B, 1) batch — dimensionally
+        consistent only at B = N. Here a minibatch is a random ROW
+        subset of the assembled residual: u is evaluated on all points
+        (static shapes; the operator couples neighbors), losses are
+        restricted to the B sampled rows, and inner products are scaled
+        by N/B so they estimate the full quantities. At
+        ``minibatch=None`` (full batch) this reduces to the reference
+        exactly.
+      * stored modes are M-normalized before entering the deflation
+        penalty; `min_epochs_between` adds a short cooldown so one flat
+        stretch cannot double-trigger (the reference gates only on
+        ``epoch > 2000`` globally, which relies on the loss jumping
+        within a single epoch).
+      * standard Adam moments (the notebook's ``betas=(0.999, 0.9999)``
+        reads as a transposition and trains far slower).
+      * ``trigger="plateau"`` (default): converged when the EMA(0.99)-
+        smoothed epoch loss fails to improve its best by a relative
+        ``plateau_rtol`` for ``plateau_epochs`` consecutive epochs.
+        The reference's absolute EMA-slope test (``trigger=
+        "ema_slope"``, threshold ``reinit_threshold``) is kept verbatim
+        but is measured to NEVER fire under minibatch noise: on the
+        sphere fixture the per-epoch loss fluctuates at ~1e-2 so the
+        slope EMA floors at ~2e-3, four orders above the notebook's
+        1e-7 — it only works full-batch, where the loss is smooth.
+    """
+    import eigenpinns_tpu
+
+    eigenpinns_tpu.warmup_transfer_async()
+    X = jnp.asarray(X, dtype=jnp.float32)
+    n = X.shape[0]
+    B = n if minibatch is None or minibatch > n else int(minibatch)
+    num_batches = max(1, n // B)
+    xmin = X.min(axis=0)
+    xmax = X.max(axis=0)
+    domain_scale = jnp.mean(xmax - xmin)
+
+    model = LambdaEigenNet(tuple(hidden))
+    base_key = jax.random.PRNGKey(seed)
+    params0 = model.init(base_key, X)
+    opt = optax.adam(lr)
+
+    def epoch_step(state: _AdaptiveState, epoch):
+        key = jax.random.fold_in(base_key, epoch)
+        k_pert, k_shuf, k_reinit = jax.random.split(key, 3)
+        noise = perturb_factor * domain_scale * jax.random.normal(
+            k_pert, X.shape, X.dtype)
+        X_pert = jnp.clip(X + noise, xmin, xmax)
+        perm = jax.random.permutation(k_shuf, n)
+        idxs = perm[: num_batches * B].reshape(num_batches, B)
+        scale = n / B
+
+        def batch_step(carry, idx_b):
+            params, opt_state = carry
+
+            def loss_fn(p):
+                u = model.apply(p, X_pert)[0][:, 0]
+                Ku = spmm(K, u[:, None])[:, 0]
+                Mu = spmm(M, u[:, None])[:, 0]
+                ub, Kub, Mub = u[idx_b], Ku[idx_b], Mu[idx_b]
+                lam = (ub @ Kub) / (ub @ Mub + 1e-8)
+                res = Kub - lam * Mub
+                eig_loss = jnp.mean(res**2) / (jnp.mean(ub**2) + 1e-8)
+                norm = (scale * (ub @ Mub) - 1.0) ** 2
+                over = scale * (Mub @ state.U_found[idx_b, :])
+                mask = jnp.arange(n_modes) < state.count
+                ortho = jnp.sum(jnp.where(mask, over, 0.0) ** 2)
+                total = eig_loss + w_norm * norm + w_defl * ortho
+                return total, lam
+
+            (total, lam), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), (total, lam)
+
+        (params, opt_state), (losses, lams) = jax.lax.scan(
+            batch_step, (state.params, state.opt_state), idxs)
+        avg = losses.mean()
+        first = jnp.isinf(state.prev_loss)
+        # Reference seeds ema_slope = 1.0 and updates once prev exists.
+        ema = jnp.where(
+            first, jnp.asarray(1.0, avg.dtype),
+            0.75 * state.ema_slope + 0.25 * jnp.abs(state.prev_loss - avg))
+        smooth = jnp.where(first, avg,
+                           0.99 * state.smooth_loss + 0.01 * avg)
+        improved = smooth < state.best_smooth * (1.0 - plateau_rtol)
+        best_smooth = jnp.minimum(state.best_smooth, smooth)
+        flat = jnp.where(improved, 0, state.flat_count + 1)
+
+        if trigger == "plateau":
+            converged = flat >= plateau_epochs
+        elif trigger == "ema_slope":
+            converged = (ema < reinit_threshold) & (ema > 0)
+        else:
+            raise ValueError(f"unknown trigger {trigger!r}")
+        fire = (converged
+                & (epoch >= warmup_epochs)
+                & (epoch - state.last_reinit >= min_epochs_between)
+                & (state.count < n_modes))
+
+        def store_and_reinit(_):
+            u = model.apply(params, X)[0][:, 0]
+            Ku = spmm(K, u[:, None])[:, 0]
+            Mu = spmm(M, u[:, None])[:, 0]
+            lam_full = (u @ Ku) / (u @ Mu + 1e-8)
+            u_n = u / jnp.sqrt(jnp.maximum(u @ Mu, 1e-12))
+            U_new = jax.lax.dynamic_update_slice(
+                state.U_found, u_n[:, None].astype(state.U_found.dtype),
+                (0, state.count))
+            lam_new = state.lam_found.at[state.count].set(lam_full)
+            p_new = model.init(jax.random.fold_in(k_reinit, state.count), X)
+            inf = jnp.asarray(jnp.inf, avg.dtype)
+            return _AdaptiveState(
+                p_new, opt.init(p_new),
+                jnp.asarray(1.0, avg.dtype), inf, inf, inf,
+                jnp.asarray(0, jnp.int32),
+                U_new, lam_new, state.count + 1, epoch)
+
+        def keep(_):
+            return _AdaptiveState(params, opt_state, ema, avg,
+                                  smooth, best_smooth, flat,
+                                  state.U_found, state.lam_found,
+                                  state.count, state.last_reinit)
+
+        new_state = jax.lax.cond(fire, store_and_reinit, keep, None)
+        metrics = {
+            "loss": avg,
+            "ema_slope": ema,
+            "smooth_loss": smooth,
+            "flat": flat.astype(jnp.float32),
+            "lam": lams[-1],
+            "found": new_state.count.astype(jnp.float32),
+            "remaining": (n_modes - new_state.count).astype(jnp.float32),
+        }
+        return new_state, metrics
+
+    inf32 = jnp.asarray(jnp.inf, jnp.float32)
+    init = _AdaptiveState(
+        params0, opt.init(params0),
+        jnp.asarray(1.0, jnp.float32), inf32, inf32, inf32,
+        jnp.asarray(0, jnp.int32),
+        jnp.zeros((n, n_modes), jnp.float32),
+        jnp.zeros((n_modes,), jnp.float32),
+        jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
+
+    result = run_scan_loop(
+        epoch_step, init, n_epochs=epochs, chunk=scan_chunk,
+        early_stop_patience=0,
+        early_stop_metric="remaining",
+        early_stop_mode="below_tol",
+        early_stop_tol=0.5,
+        log_every=log_every, log_fn=log_fn)
+
+    state = result.state
+    count = int(state.count)
+    U = np.asarray(state.U_found[:, :count])
+    lam = np.asarray(state.lam_found[:count])
+    # Epoch at which each mode landed, from the step-count transitions.
+    found_hist = result.history["found"]
+    found_at = [int(np.argmax(found_hist >= j + 1)) for j in range(count)]
+
+    if count and polish_iters > 0:
+        from eigenpinns_tpu.solvers.lobpcg import lobpcg
+
+        res = lobpcg(K, M, jnp.asarray(U), k=count,
+                     max_iter=polish_iters, tol=1e-7)
+        lam = np.asarray(res.eigenvalues)
+        U = np.asarray(res.eigenvectors)
+
+    history = dict(result.history)
+    history["epochs_run"] = result.epochs_run
+    return DeflationResult(
+        eigenvalues=lam,
+        eigenvectors=U,
+        histories=[history],
+        epochs_per_mode=found_at,
+    )
