@@ -24,6 +24,7 @@ def sphere_problem():
     return X, as_operator(L), as_operator(M), L, M, vals, vecs
 
 
+@pytest.mark.slow
 def test_train_joint_penalty(sphere_problem):
     X, Kop, Mop, L, M, vals, _ = sphere_problem
     res = train_joint(Kop, Mop, X, n_modes=5, hidden=(64, 64),
@@ -78,6 +79,7 @@ def test_deflation_sequential_modes(sphere_problem):
     assert g01 < 0.05
 
 
+@pytest.mark.slow
 def test_train_joint_family_batched(rng):
     """vmap-batched training over a family of sphere clouds: every mesh's
     low modes land near its own oracle."""
@@ -109,6 +111,7 @@ def test_train_joint_family_batched(rng):
     assert res.eigenvalues[0][1] > res.eigenvalues[2][1]
 
 
+@pytest.mark.slow
 def test_deflation_with_polish(sphere_problem):
     """Per-mode LOBPCG polish makes the driver warm-start-insensitive:
     solver-grade eigenvalues with the naive default delta."""

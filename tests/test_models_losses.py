@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import scipy.sparse as sp
 
 from eigenpinns_tpu.losses import (
@@ -211,6 +212,7 @@ def test_partial_weight_copy(rng):
                        np.asarray(old["params"]["out"]["kernel"]))
 
 
+@pytest.mark.slow
 def test_mlp_bf16_compute_dtype(rng):
     """compute_dtype='bfloat16' keeps params f32 and output f32, shares
     the param pytree with the f32 model, and stays within bf16 rounding

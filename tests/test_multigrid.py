@@ -30,6 +30,7 @@ def small_config(**kw):
     return Config(**base)
 
 
+@pytest.mark.slow
 def test_multigrid_end_to_end(small_hierarchy):
     cfg = small_config()
     result = MultigridTrainer(cfg).train(small_hierarchy)
@@ -56,6 +57,7 @@ def test_multigrid_end_to_end(small_hierarchy):
     assert abs(lam[1] - vals[1]) / vals[1] < 0.8, (lam, vals)
 
 
+@pytest.mark.slow
 def test_multigrid_lobpcg_polish(small_hierarchy):
     """The polish extension reaches solver-grade accuracy (<1% — the
     BASELINE.json north-star tolerance)."""
@@ -70,18 +72,21 @@ def test_multigrid_lobpcg_polish(small_hierarchy):
     assert rel.max() < 0.01, (lam, vals)
 
 
+@pytest.mark.slow
 def test_multigrid_early_stop(small_hierarchy):
     cfg = small_config(epochs=5000, early_stop_patience=20, scan_chunk=25)
     result = MultigridTrainer(cfg).train(small_hierarchy)
     assert result.epochs_run < 5000  # stopped early at some point
 
 
+@pytest.mark.slow
 def test_multigrid_spectral_model(small_hierarchy):
     cfg = small_config(model_type="spectral", epochs=60)
     result = MultigridTrainer(cfg).train(small_hierarchy)
     assert np.isfinite(result.eigenvalues).all()
 
 
+@pytest.mark.slow
 def test_multigrid_projection_loss(small_hierarchy):
     cfg = small_config(weight_projection=1.0, epochs=60)
     result = MultigridTrainer(cfg).train(small_hierarchy)
@@ -126,6 +131,7 @@ def test_reference_parameters_yml_loads():
     assert cfg.hidden_layers == [256] * 6
 
 
+@pytest.mark.slow
 def test_multigrid_new_options(small_hierarchy):
     """normalize_in_loss + zero-mean + best-state tracking run end-to-end."""
     cfg = small_config(epochs=80, normalize_in_loss=True, w_zero_mean=1.0,
@@ -134,6 +140,7 @@ def test_multigrid_new_options(small_hierarchy):
     assert np.isfinite(result.eigenvalues).all()
 
 
+@pytest.mark.slow
 def test_multigrid_banded_format(coarse1_mesh):
     """The banded operator format trains end-to-end and maps back to the
     original vertex order."""
@@ -154,6 +161,7 @@ def test_multigrid_banded_format(coarse1_mesh):
     assert np.allclose(U_orig[h.perms[-1]], result.eigenvectors)
 
 
+@pytest.mark.slow
 def test_multigrid_checkpoint_resume(small_hierarchy, tmp_path):
     """checkpoint_dir saves the final state and a second run resumes it."""
     cfg = small_config(epochs=60, checkpoint_dir=str(tmp_path / "ck"))
@@ -190,6 +198,7 @@ def test_cli_end_to_end(tmp_path):
     assert set(pd) == {"v0", "v1", "v2", "v3"}
 
 
+@pytest.mark.slow
 def test_multigrid_resume_continues_epoch_counter(small_hierarchy, tmp_path):
     """Checkpoint resume must not replay the corrector-scale ramp and must
     save a strictly higher checkpoint index (ADVICE r1)."""
@@ -213,6 +222,7 @@ def test_multigrid_resume_continues_epoch_counter(small_hierarchy, tmp_path):
     assert step == 100
 
 
+@pytest.mark.slow
 def test_eval_callback_tracks_subspace(small_hierarchy):
     """The per-chunk eval hook delivers finest-level predictions whose
     final snapshot matches the trainer's own final extraction."""
@@ -234,6 +244,7 @@ def test_eval_callback_tracks_subspace(small_hierarchy):
     assert np.abs(seen[-1][1] - final).max() < 1e-4
 
 
+@pytest.mark.slow
 def test_multigrid_bf16_loss_precision(coarse1_mesh):
     """loss_mxu_precision='bf16' (bf16-stored loss operators) trains
     end-to-end and polish still reaches solver grade — the config knob
@@ -251,6 +262,7 @@ def test_multigrid_bf16_loss_precision(coarse1_mesh):
     assert rel.max() < 0.01, (result.eigenvalues, vals)
 
 
+@pytest.mark.slow
 def test_multigrid_sharded_matches_single_device(small_hierarchy):
     """The node-sharded production loop (8-device mesh, per-level halo
     SpMMs, replicated params) reproduces the single-device trainer:
@@ -280,6 +292,7 @@ def test_multigrid_sharded_matches_single_device(small_hierarchy):
         assert rel.max() < 2e-2, (a, b)
 
 
+@pytest.mark.slow
 def test_multigrid_sharded_banded_and_spectral(coarse1_mesh):
     """The sharded loop's other axes: a banded-format (per-level RCM)
     hierarchy, and the SpectralCorrector's GCN aggregation operator —
@@ -305,6 +318,7 @@ def test_multigrid_sharded_banded_and_spectral(coarse1_mesh):
     assert (np.abs(l1s - l8s) / np.maximum(np.abs(l1s), 1e-9)).max() < 1e-3
 
 
+@pytest.mark.slow
 def test_cli_sharded_mesh_shape(tmp_path):
     """`--override mesh_shape=[8]` runs the CLI pipeline through the
     node-sharded multigrid loop end-to-end."""
@@ -326,6 +340,7 @@ def test_cli_sharded_mesh_shape(tmp_path):
     assert set(pd) == {"v0", "v1", "v2"}
 
 
+@pytest.mark.slow
 def test_timing_probe_does_not_perturb_results(small_hierarchy):
     """cfg.timing_chunks appends a chained throughput probe whose extra
     training steps are DISCARDED: the returned eigenpairs/history match a

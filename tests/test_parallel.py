@@ -115,6 +115,7 @@ def test_dp_train_step_matches_single_device(rng):
     assert abs(results[1][1] - results[8][1]) < 1e-5
 
 
+@pytest.mark.slow
 def test_graft_dryrun_multichip():
     import __graft_entry__ as g
 
@@ -215,6 +216,7 @@ def test_halo_spmm_real_mesh_operator(bunny_fem, rng):
     assert np.abs(out - ref).max() / np.abs(ref).max() < 1e-5
 
 
+@pytest.mark.slow
 def test_train_joint_sharded_matches_single_device(rng):
     """The distributed production trainer reproduces the single-device
     trainer: same loss trajectory and the same eigenvalues (VERDICT r1
@@ -257,6 +259,7 @@ def test_train_joint_sharded_matches_single_device(rng):
     assert np.abs(s8 - s1).max() < 0.01, (s1, s8)
 
 
+@pytest.mark.slow
 def test_lobpcg_sharded_matches_eigsh(rng):
     """Node-sharded LOBPCG (FunctionOperator over the halo SpMM) on an
     8-device mesh reproduces eigsh — single blocks and deflated sweeps."""
@@ -288,6 +291,7 @@ def test_lobpcg_sharded_matches_eigsh(rng):
     assert np.abs(G - np.eye(8)).max() < 1e-3
 
 
+@pytest.mark.slow
 def test_spectral_basis_sharded(rng):
     """spectral_basis(n_devices=8): the large-scale driver end-to-end on
     the mesh — warm start, sharded blocked LOBPCG, caller vertex order."""
@@ -310,6 +314,7 @@ def test_spectral_basis_sharded(rng):
     assert np.allclose(num / den, res.eigenvalues, rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_train_joint_sharded_checkpoint_resume(rng, tmp_path):
     """Sharded trainer checkpoints (replicated pytrees, mesh-shape
     independent) and resumes with the epoch offset intact."""

@@ -5,6 +5,7 @@ oracles, on the analytic fixtures the reference uses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import scipy.linalg
 import scipy.sparse as sp
 
@@ -236,6 +237,7 @@ def test_spectral_basis_driver(rng):
     assert np.allclose(num / den, res.eigenvalues, rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_spectral_basis_family_shares_executable(rng):
     """Family members padded to one common BSR shape reuse a SINGLE
     compiled LOBPCG executable (config 5 "batched over a mesh family" at

@@ -577,6 +577,7 @@ def test_function_operator_dispatch(rng):
     assert np.allclose(np.asarray(spmm(op2, U)), 3.0 * np.asarray(U))
 
 
+@pytest.mark.slow
 def test_bsr_prefetch_depths_match(rng):
     """The depth-D gather ring produces identical results at every depth
     (interpret mode; D=2 is plain double buffering)."""
@@ -745,6 +746,7 @@ def test_banded_pallas_bf16_band(rng):
             / np.abs(G_ref).max() < 2e-2)
 
 
+@pytest.mark.slow
 def test_bsr_grouped_gather_kernel(rng):
     """Grouped-union gather kernel (bsr_spmm_pallas_grouped): per-GROUP
     U-tile union DMAs replace per-chunk bursts — each shared column tile

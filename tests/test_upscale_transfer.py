@@ -41,6 +41,7 @@ def test_subsample_hierarchy_methods():
             assert np.all(np.diff(l) > 0)
 
 
+@pytest.mark.slow
 def test_hierarchical_eigensolve_quick():
     """The reference's run_quick_test analog: 1D Laplacian n=128."""
     from eigenpinns_tpu.solvers import hierarchical_eigensolve
@@ -59,6 +60,7 @@ def test_hierarchical_eigensolve_quick():
     assert res.level_sizes == [48, 128]
 
 
+@pytest.mark.slow
 def test_train_per_level_transfer(coarse1_mesh):
     from eigenpinns_tpu.sampling import build_hierarchy
     from eigenpinns_tpu.solvers import train_per_level
