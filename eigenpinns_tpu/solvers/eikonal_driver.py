@@ -35,6 +35,8 @@ from eigenpinns_tpu.train.loop import run_scan_loop
 class EikState(NamedTuple):
     params: Any
     opt_state: Any
+    w_u: jax.Array     # NTK weight of the data term (1.0 when disabled)
+    w_r: jax.Array     # NTK weight of the residual term
 
 
 @dataclasses.dataclass
@@ -56,11 +58,27 @@ def solve_eikonal(
     element_batch: int = 512,
     lr: float = 1e-3,
     lr_decay_steps: int = 20000,
+    ntk_weights: bool = False,
+    ntk_every: int = 1000,
+    ntk_batch: int = 128,
     seed: int = 0,
     log_fn=None,
     log_every: int = 0,
 ) -> EikonalResult:
-    """Train the eikonal PINN; returns the full predicted field."""
+    """Train the eikonal PINN; returns the full predicted field.
+
+    ``ntk_weights=True`` enables NTK-based adaptive loss balancing —
+    the jaxpinns feature the reference's driver exposes (and disables)
+    at Laplace-PINN-coil.ipynb cell 23 (``ntk_weights=False``). Every
+    ``ntk_every`` epochs the diagonal NTK trace of each loss term is
+    estimated from per-example parameter gradients (tr K_uu over the
+    supervised nodes, tr K_rr over ``ntk_batch`` random elements) and
+    the terms are reweighted w_k = (tr K_uu + tr K_rr) / tr K_k
+    (Wang, Yu & Perdikaris, "When and why PINNs fail to train: an NTK
+    perspective"), equalizing the terms' gradient-flow rates. The
+    update runs inside the scan step under `lax.cond`, so fusion is
+    preserved.
+    """
     import eigenpinns_tpu
 
     eigenpinns_tpu.warmup_transfer_async()
@@ -88,25 +106,68 @@ def solve_eikonal(
     def u_full(params):
         return model.apply(params, enc)[:, 0]
 
-    def loss_fn(params, key):
+    def loss_fn(params, key, w_u, w_r):
         u = u_full(params)
         loss_u = jnp.mean((u[data_idx] - y[data_idx]) ** 2)
         e_idx = jax.random.randint(key, (element_batch,), 0, n_faces)
         # Residual on the PHYSICAL field u * sigma (cell 7:47-53).
         r = eikonal_residual(u * y_sigma + y_mu, Bs[e_idx], faces[e_idx])
         loss_r = jnp.mean(r**2)
-        total = loss_u + loss_r
+        total = w_u * loss_u + w_r * loss_r
         return total, {"loss": total, "data": loss_u, "res": loss_r}
+
+    def ntk_traces(params, key):
+        """Diagonal NTK traces of the two loss terms: sums of squared
+        per-example parameter gradients."""
+
+        def sq_sum(tree):
+            return sum(jnp.sum(g**2)
+                       for g in jax.tree_util.tree_leaves(tree))
+
+        def u_i(p, x):
+            return model.apply(p, x[None])[0, 0]
+
+        g_u = jax.vmap(jax.grad(u_i), in_axes=(None, 0))(
+            params, enc[data_idx])
+        tr_u = sq_sum(g_u)
+
+        e_idx = jax.random.randint(key, (ntk_batch,), 0, n_faces)
+
+        def r_e(p, f, B):
+            # Bs annihilates constants (it is a surface-gradient
+            # quadratic form), so the y_mu shift drops out.
+            u_e = model.apply(p, enc[f])[:, 0] * y_sigma
+            quad = jnp.einsum("ij,i,j->", B, u_e, u_e)
+            return jnp.sqrt(jnp.clip(quad, 1e-12)) - 1.0
+
+        g_r = jax.vmap(jax.grad(r_e), in_axes=(None, 0, 0))(
+            params, faces[e_idx], Bs[e_idx])
+        tr_r = sq_sum(g_r)
+        return tr_u, tr_r
 
     def step(state: EikState, epoch):
         key = jax.random.fold_in(jax.random.PRNGKey(seed + 1), epoch)
+        k_batch, k_ntk = jax.random.split(key)
+        w_u, w_r = state.w_u, state.w_r
+        if ntk_weights:
+            def update_w(_):
+                tr_u, tr_r = ntk_traces(state.params, k_ntk)
+                tot = tr_u + tr_r
+                return tot / (tr_u + 1e-12), tot / (tr_r + 1e-12)
+
+            w_u, w_r = jax.lax.cond(
+                epoch % ntk_every == 0, update_w,
+                lambda _: (w_u, w_r), None)
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, key)
+            state.params, k_batch, w_u, w_r)
         updates, opt_state = opt.update(grads, state.opt_state)
         params = optax.apply_updates(state.params, updates)
-        return EikState(params, opt_state), metrics
+        metrics["w_u"] = w_u
+        metrics["w_r"] = w_r
+        return EikState(params, opt_state, w_u, w_r), metrics
 
-    result = run_scan_loop(step, EikState(params, opt_state),
+    one = jnp.asarray(1.0, jnp.float32)
+    result = run_scan_loop(step, EikState(params, opt_state, one, one),
                            n_epochs=epochs, chunk=scan_chunk,
                            log_every=log_every, log_fn=log_fn)
 

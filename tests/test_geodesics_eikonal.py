@@ -103,6 +103,35 @@ def test_eikonal_pinn_on_sphere(sphere_mesh):
     assert res.residual_rms < 0.12, res.residual_rms
 
 
+def test_eikonal_ntk_weights(sphere_mesh):
+    """NTK loss balancing (the jaxpinns hook the reference's driver
+    exposes at Laplace-PINN-coil cell 23): weights update on the
+    ntk_every cadence, are finite and non-unit, and training still
+    reaches a correlated distance field on a short budget."""
+    from eigenpinns_tpu.solvers import solve_eikonal
+    from eigenpinns_tpu.solvers.oracle import solve_eigenvalue_mesh
+
+    src = int(np.argmax(sphere_mesh.verts[:, 2]))
+    y = heat_geodesics(sphere_mesh, [src])
+    _, vecs, _, _ = solve_eigenvalue_mesh(sphere_mesh, 20)
+    enc = eigen_positional_encoding(vecs, 20)
+    res = solve_eikonal(sphere_mesh, enc, y, n_data=50,
+                        hidden=(64,), epochs=1200, element_batch=256,
+                        ntk_weights=True, ntk_every=400, ntk_batch=64,
+                        seed=0)
+    w_u, w_r = res.history["w_u"], res.history["w_r"]
+    assert np.isfinite(w_u).all() and np.isfinite(w_r).all()
+    # The weights moved off their unit init and sum-normalize to the
+    # number of terms: w_u/total + w_r/total == ... -> 1/w_u + 1/w_r = 1.
+    assert abs(1.0 / w_u[-1] + 1.0 / w_r[-1] - 1.0) < 1e-4
+    assert w_u[-1] != 1.0 and w_r[-1] != 1.0
+    # Piecewise-constant between updates.
+    assert np.all(w_u[1:399] == w_u[1])
+    assert w_u[400] != w_u[399] or w_r[400] != w_r[399]
+    corr = np.corrcoef(res.u, y)[0, 1]
+    assert corr > 0.98, corr
+
+
 @pytest.mark.slow
 def test_eikonal_pinn_learned_encodings(sphere_mesh):
     """The full learn-the-basis-then-use-it-downstream loop: train
