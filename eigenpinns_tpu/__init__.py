@@ -91,11 +91,21 @@ def warmup_transfer_async() -> None:
     if _WARMUP_STARTED:
         return
     _WARMUP_STARTED = True
-    _enable_persistent_compile_cache()
-    if _os.environ.get("EIGENPINNS_NO_WARMUP") == "1":
-        return
+    skip_warm = _os.environ.get("EIGENPINNS_NO_WARMUP") == "1"
 
     def _warm():
+        # The cache config probes jax.default_backend(), which
+        # INITIALIZES the backend — on the tunneled TPU that can block
+        # 20-60 min during a relay outage. It must run on this daemon
+        # thread so callers' host-side preprocessing proceeds meanwhile
+        # (a blocked caller was exactly how round 3 lost its bench
+        # evidence). Tiny race accepted: a compile issued before this
+        # thread sets jax_compilation_cache_dir misses the persistent
+        # cache, but any device op serializes on the same backend init,
+        # so in practice the config lands first.
+        _enable_persistent_compile_cache()
+        if skip_warm:
+            return
         try:
             import numpy as np
             import jax
