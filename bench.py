@@ -10,6 +10,7 @@ line was printed. This bench is therefore a SUPERVISOR + phase children:
                                   20-60 min during relay outages)
   python bench.py --phase bunny   child: bunny multigrid training
   python bench.py --phase large   child: 300k kernel MFU + training
+  python bench.py --phase xl      child: optional 1M training probe
 
 The supervisor runs each phase as a subprocess with a hard timeout
 (kill + retry once), under a global wall-clock deadline. Children write
@@ -30,6 +31,9 @@ Phases (unchanged from rounds 1-3):
      cell 1; BASELINE.md row 1). `value`/`vs_baseline` report this.
   2. 300k-node cloud direct training steps/s (banded MXU operators) +
      strip-BSR SpMM+Gram MFU at k=128.
+  3. (round 4, optional) 1M-node direct training steps/s + step MFU —
+     runs only if .cache_1m exists and earlier phases left budget; its
+     absence or failure never costs phases 1-2's evidence.
 
 HEADLINE CONVENTION (VERDICT r3 item 2 — continuity restored): `value`
 is the PER-CHUNK MEDIAN steps/s (compile chunk excluded), the same
@@ -420,6 +424,89 @@ def phase_large(out_path: str, n: int = 300_000, k: int = 20) -> None:
     write_json(out_path, payload)
 
 
+def phase_xl(out_path: str, n: int = 1_000_000, k: int = 20) -> None:
+    """1M-node direct TRAINING probe (VERDICT r4 item 4).
+
+    Optional: requires .cache_1m (Laplacian + oracle, built once by
+    scripts/run_1m_50modes_*.py) — skips loudly without it, and the
+    supervisor treats the skip as success so it can never cost the
+    earlier phases' evidence. First-ever Mosaic compiles at the 1M
+    shape take minutes; scripts/run_1m_training.py warms the
+    persistent compile cache with the exact same shapes.
+    """
+    import numpy as np
+
+    cache = os.path.join(HERE, ".cache_1m")
+    lap_f = os.path.join(cache, "lap.npz")
+    if not os.path.exists(lap_f):
+        log("[xl] no .cache_1m — skipping (run scripts/run_1m_50modes_"
+            "bsr.py once to build it)")
+        write_json(out_path, {"skipped": "no .cache_1m"})
+        return
+
+    import scipy.sparse as sp
+
+    # Host-side load BEFORE device init (outage-overlap).
+    d = np.load(lap_f)
+    L = sp.csr_matrix((d["data"], d["indices"], d["indptr"]), shape=(n, n))
+    m_diag = d["m"]
+    oracle_f = os.path.join(cache, "oracle1m.npz")
+    vals_o = np.load(oracle_f)["vals"] if os.path.exists(oracle_f) else None
+    X = make_cloud(n)  # same deterministic seed-0 cloud as the cache
+
+    child_init_backend()
+    import jax
+    import jax.numpy as jnp
+
+    from eigenpinns_tpu.solvers.direct import train_joint
+    from eigenpinns_tpu.sparse import BSRTile, Diagonal
+
+    payload = {"n": n, "k": k}
+    t0 = time.time()
+    K_op, perm = BSRTile.from_scipy(L)
+    jax.block_until_ready(K_op.data)
+    perm = np.asarray(perm)
+    M_op = Diagonal(jnp.asarray(m_diag[perm], jnp.float32))
+    payload["bsr_build_s"] = round(time.time() - t0, 1)
+    log(f"[xl] strip-BSR ({K_op.data.nbytes/1e9:.2f} GB) in "
+        f"{payload['bsr_build_s']}s")
+    write_json(out_path, payload)
+
+    t0 = time.time()
+    res = train_joint(
+        K_op, M_op, X[perm], n_modes=k, hidden=(256, 256, 256),
+        mode="penalty", epochs=150, scan_chunk=50,
+        w_res=1.0, w_orth=1000.0, w_trace=0.05,
+        lr_start=2e-3, lr_end=2e-4, seed=0, rayleigh_ritz_finish=False,
+        loss_mxu_precision="bf16", mlp_compute_dtype="bfloat16",
+        timing_chunks=3)
+    steps = res.steady_steps_per_sec
+    per_chunk = median_chunk_rate(res.chunk_times)
+    # Same step-FLOP convention as phase_large (operator slots fwd+VJP,
+    # MLP fwd + 2x bwd, Grams, lam/residual dots).
+    data_elems = float(np.prod(K_op.data.shape))
+    dims = [3, 256, 256, 256, k]
+    mlp_fwd = 2.0 * n * sum(a * b for a, b in zip(dims[:-1], dims[1:]))
+    step_flops = (2 * (2.0 * data_elems * k) + 3.0 * mlp_fwd
+                  + 3.0 * (2.0 * n * k * k) + 4.0 * (2.0 * n * k))
+    peak = peak_flops_for(jax.devices()[0])
+    payload.update({
+        "train_steps_per_sec": round(steps, 2),
+        "train_steps_per_sec_per_chunk": round(per_chunk, 2),
+        "step_tflops": round(step_flops * steps / 1e12, 2),
+        "step_mfu": round(step_flops * steps / peak, 4),
+        "train_wall_s": round(time.time() - t0, 1),
+    })
+    if vals_o is not None:
+        lam = np.sort(np.asarray(res.eigenvalues))[:k]
+        payload["raw_lambda_max_rel_err_vs_oracle"] = round(float(
+            np.max(np.abs(lam[1:] - vals_o[1:k])
+                   / np.abs(vals_o[1:k]))), 4)
+    log(f"[xl] 1M training k={k}: {steps:.1f} steps/s "
+        f"(MFU {payload['step_mfu']:.3f})")
+    write_json(out_path, payload)
+
+
 # ---------------------------------------------------------------------------
 # supervisor (stdlib only — no jax in this process, ever)
 # ---------------------------------------------------------------------------
@@ -433,7 +520,7 @@ CONVENTION = (
     "per-chunk relay RTT)")
 
 
-def assemble_line(bunny, large, note: str = "") -> str:
+def assemble_line(bunny, large, note: str = "", xl=None) -> str:
     """Build the single driver-facing JSON line from phase result dicts."""
     extra = {"convention": CONVENTION}
     if note:
@@ -449,6 +536,8 @@ def assemble_line(bunny, large, note: str = "") -> str:
         extra["error"] = ("bunny phase produced no result "
                           "(relay outage?) — see stderr tail")
     extra["cloud_300k"] = large if large else {"error": "no result"}
+    if xl:
+        extra["cloud_1m_training"] = xl
     return json.dumps({
         "metric": "bunny_multigrid_train_steps_per_sec",
         "value": value,
@@ -514,7 +603,8 @@ def emit(note: str = "") -> None:
     global _FINAL_PRINTED
     bunny = read_json(os.path.join(OUT_DIR, "bunny.json"))
     large = read_json(os.path.join(OUT_DIR, "large.json"))
-    print(assemble_line(bunny, large, note), flush=True)
+    xl = read_json(os.path.join(OUT_DIR, "xl.json"))
+    print(assemble_line(bunny, large, note, xl=xl), flush=True)
     _FINAL_PRINTED = True
 
 
@@ -524,7 +614,7 @@ def supervise() -> None:
     os.makedirs(OUT_DIR, exist_ok=True)
     # Stale results from a previous invocation must not masquerade as
     # this run's evidence.
-    for f in ("bunny.json", "large.json"):
+    for f in ("bunny.json", "large.json", "xl.json"):
         p = os.path.join(OUT_DIR, f)
         if os.path.exists(p):
             os.remove(p)
@@ -553,6 +643,12 @@ def supervise() -> None:
          else "provisional: bunny phase FAILED")
     run_phase("large", os.path.join(OUT_DIR, "large.json"),
               budget_s=600, deadline=deadline)
+    emit(note="provisional: before optional 1M phase")
+    # Optional 1M training probe: only with real budget left, and only
+    # one attempt class — it can add evidence but never subtract any.
+    if deadline - time.monotonic() > 240:
+        run_phase("xl", os.path.join(OUT_DIR, "xl.json"),
+                  budget_s=480, deadline=deadline)
     log(f"[supervisor] end-to-end wall: {time.monotonic()-t_start:.1f}s")
     emit()
 
@@ -566,6 +662,8 @@ def main() -> None:
             phase_bunny(out)
         elif name == "large":
             phase_large(out)
+        elif name == "xl":
+            phase_xl(out)
         else:
             raise SystemExit(f"unknown phase {name!r}")
         return
