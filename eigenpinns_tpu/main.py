@@ -85,7 +85,22 @@ def cli(argv=None) -> None:
                     metavar="KEY=VALUE",
                     help="config overrides, e.g. n_modes=10 epochs=2000; "
                          "repeated --override flags accumulate")
+    ap.add_argument("--platform", default=None,
+                    help="force the JAX platform (e.g. 'cpu', 'tpu'). "
+                         "Unlike the JAX_PLATFORMS env var this is "
+                         "authoritative: boot configs (sitecustomize) can "
+                         "pin jax_platforms at import time, in which case "
+                         "the env var is silently ignored and a CPU-only "
+                         "run would still initialize a (possibly "
+                         "single-client) TPU. Defaults to "
+                         "$EIGENPINNS_PLATFORM if set.")
     args = ap.parse_args(argv)
+
+    platform = args.platform or os.environ.get("EIGENPINNS_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
 
     config = Config.from_yaml(args.config) if args.config else Config()
     overrides = {}

@@ -175,6 +175,29 @@ def test_multigrid_checkpoint_resume(small_hierarchy, tmp_path):
     assert np.isfinite(result2.eigenvalues).all()
 
 
+def test_cli_platform_flag_forces_live_config(tmp_path):
+    """--platform must win over env/boot pins via the live jax config.
+
+    In containers whose boot sitecustomize pins jax_platforms at import
+    time, the JAX_PLATFORMS env var is silently ignored; the CLI flag is
+    the only authoritative override (and keeps CPU-only runs from
+    initializing a single-client tunneled TPU).
+    """
+    import jax
+
+    from eigenpinns_tpu import main as main_mod
+
+    seen = {}
+    orig = main_mod.main
+    main_mod.main = lambda cfg: seen.setdefault(
+        "platforms", jax.config.jax_platforms)
+    try:
+        main_mod.cli(["--platform", "cpu"])
+    finally:
+        main_mod.main = orig
+    assert seen["platforms"] == "cpu"
+
+
 def test_cli_end_to_end(tmp_path):
     """The CLI pipeline runs on coarse_1 and writes VTU + diagnostics."""
     from eigenpinns_tpu.main import cli
