@@ -28,6 +28,20 @@ __version__ = "0.1.0"
 
 import os as _os
 
+# EIGENPINNS_PLATFORM=<cpu|tpu|...> pins the JAX platform through the
+# LIVE config for every entry point that imports this package (CLI,
+# examples, scripts, tests). The JAX_PLATFORMS env var is NOT
+# authoritative: boot configs (sitecustomize) can pin jax_platforms at
+# interpreter start, silently overriding it — on single-client tunneled
+# TPUs a "CPU" subprocess that loses that race initializes the chip and
+# kills whatever job holds it. jax.config.update is applied before any
+# backend initialization as long as this package is imported first.
+if _os.environ.get("EIGENPINNS_PLATFORM"):
+    import jax as _jax
+
+    _jax.config.update(
+        "jax_platforms", _os.environ["EIGENPINNS_PLATFORM"])
+
 
 def _enable_persistent_compile_cache() -> None:
     """Persist XLA compilations across processes.

@@ -21,7 +21,11 @@ EXAMPLES = sorted((REPO / "examples").glob("*.py"))
 def test_example_smoke(script, tmp_path):
     env = dict(os.environ)
     env["EIGENPINNS_SMOKE"] = "1"
+    # Both forms: the env var alone is ignored where a boot config pins
+    # jax_platforms (e.g. this container) — EIGENPINNS_PLATFORM routes
+    # through jax.config.update at package import, which always wins.
     env["JAX_PLATFORMS"] = "cpu"
+    env["EIGENPINNS_PLATFORM"] = "cpu"
     env.pop("XLA_FLAGS", None)
     env["PYTHONPATH"] = str(REPO)
     proc = subprocess.run(
