@@ -86,6 +86,11 @@ class Config:
     checkpoint_dir: str = ""
     mesh_shape: list = dataclasses.field(default_factory=list)  # device mesh
     profile_dir: str = ""
+    fuse_level_ops: bool = True  # multigrid loss: ONE block-diagonal SpMM
+                                 # over all levels instead of per-level
+                                 # dispatches (single-device path only;
+                                 # falls back per-level when the fused
+                                 # operator cannot be built)
     loss_mxu_precision: str = "high"  # banded SpMM passes INSIDE the loss:
                                       # 'high' = bf16x3 (~1e-5 rel err,
                                       # 1.4x faster), 'highest' = f32,

@@ -60,6 +60,62 @@ class Hierarchy:
     perms: list[np.ndarray] | None = None  # per-level RCM permutations
                                            # (banded format); None = identity
 
+    def fused_level_ops(self, dtype=jnp.float32, max_bandwidth: int = 4096):
+        """Block-diagonal (K, M) device operators over the concatenated
+        level node axis.
+
+        The multigrid loss treats the levels as independent blocks of one
+        batched problem (the trainer already concatenates U over levels);
+        a single block-diagonal SpMM replaces the per-level SpMM
+        dispatches — one kernel launch instead of n_levels, forward AND
+        in the VJP. Levels keep their already-applied per-level ordering,
+        so row ranges still line up with the trainer's node offsets.
+        Result is cached on the instance (operators are build-once, like
+        K_ops/M_ops — see module docstring).
+        """
+        cached = getattr(self, "_fused_ops", None)
+        if cached is not None:
+            return cached
+        import scipy.sparse as sp
+
+        from eigenpinns_tpu.sparse.bsr import BSRTile
+        from eigenpinns_tpu.sparse.formats import Diagonal
+        from eigenpinns_tpu.sparse.rolling import RollingBanded
+
+        K_blk = sp.block_diag([K.tocsr() for K in self.K_scipy],
+                              format="csr")
+
+        def _banded(A):
+            # Mirror the finest level's format choice; block boundaries
+            # only ever WIDEN the rolling window by < one tile, so a
+            # bandwidth blowup past max_bandwidth falls back to strip-BSR
+            # (no cap), exactly like build_hierarchy's per-level logic.
+            if isinstance(self.K_ops[-1], RollingBanded):
+                try:
+                    return RollingBanded.from_scipy(
+                        A, dtype=dtype, reorder=False,
+                        max_bandwidth=max_bandwidth)[0]
+                except ValueError:
+                    pass
+            return BSRTile.from_scipy(A, dtype=dtype, reorder=False)[0]
+
+        if isinstance(self.K_ops[-1], (RollingBanded, BSRTile)):
+            K_op = _banded(K_blk)
+        else:
+            K_op = as_operator(K_blk, dtype=dtype)
+        if all(hasattr(op, "diag") for op in self.M_ops):
+            M_op = Diagonal(jnp.concatenate(
+                [op.diag for op in self.M_ops]).astype(dtype))
+        else:
+            M_blk = sp.block_diag([M.tocsr() for M in self.M_scipy],
+                                  format="csr")
+            if isinstance(self.K_ops[-1], (RollingBanded, BSRTile)):
+                M_op = _banded(M_blk)
+            else:
+                M_op = as_operator(M_blk, dtype=dtype)
+        self._fused_ops = (K_op, M_op)
+        return self._fused_ops
+
     def to_original_order(self, U_finest: np.ndarray) -> np.ndarray:
         """Map finest-level rows back to the input mesh's vertex order
         (needed after banded-format training, whose levels are

@@ -239,16 +239,39 @@ class MultigridTrainer:
                 return op.with_precision(cfg.loss_mxu_precision)
             return op
 
+        use_fused = False
         if not sharded:
             data = {
                 "feats": feats,
                 "U_base": U_base,
                 "graph": graph,
                 "lam_target": lam_list[0],
-                "K_ops": tuple(_loss_op(o) for o in h.K_ops),
-                "M_ops": tuple(_loss_op(o) for o in h.M_ops),
                 "Pt_ops": tuple(h.Pt_ops),
             }
+            # ONE block-diagonal SpMM over the concatenated node axis
+            # replaces n_levels per-level dispatches (fwd and VJP) — the
+            # per-level loss is dispatch-bound at small/medium N, not
+            # FLOP-bound (the hot op it fuses:
+            # src/multigrid_model.py:306-322). Falls back to the
+            # per-level path when the hierarchy cannot build the fused
+            # operator (e.g. no host-side scipy matrices).
+            if cfg.fuse_level_ops and len(h.K_ops) > 1:
+                try:
+                    K_blk, M_blk = h.fused_level_ops(
+                        dtype=U_base.dtype)
+                    data["K_blk"] = _loss_op(K_blk)
+                    data["M_blk"] = _loss_op(M_blk)
+                    use_fused = True
+                except Exception as e:
+                    import warnings
+
+                    warnings.warn(
+                        f"fuse_level_ops: fused operator build failed "
+                        f"({e!r}); using per-level dispatches",
+                        stacklevel=2)
+            if not use_fused:
+                data["K_ops"] = tuple(_loss_op(o) for o in h.K_ops)
+                data["M_ops"] = tuple(_loss_op(o) for o in h.M_ops)
 
         def loss_fn_single(params, epoch, data):
             corr_raw = model.apply(params, data["feats"], data["graph"])
@@ -260,23 +283,59 @@ class MultigridTrainer:
             loss_proj = 0.0
             lam_levels = []
             U_slices = []
+            if use_fused:
+                # Two fused SpMMs for ALL levels; every per-level term
+                # below is then dense slicing + k x k reductions.
+                Ku_all = spmm(data["K_blk"], U_pred)
+                Mu_all = spmm(data["M_blk"], U_pred)
             for i, (off, n) in enumerate(zip(offsets, sizes)):
-                K, M = data["K_ops"][i], data["M_ops"][i]
                 U_l = jax.lax.dynamic_slice_in_dim(U_pred, off, n, axis=0)
-                if cfg.normalize_in_loss:
-                    U_l = m_normalize_columns(U_l, M)
-                U_slices.append(U_l)
-                lam_l, res_l, orth_l = rayleigh_residual_orth(U_l, K, M)
-                lam_levels.append(lam_l)
-                loss_res = loss_res + res_l
-                loss_orth = loss_orth + orth_l
+                if use_fused:
+                    Ku = jax.lax.dynamic_slice_in_dim(Ku_all, off, n,
+                                                      axis=0)
+                    Mu = jax.lax.dynamic_slice_in_dim(Mu_all, off, n,
+                                                      axis=0)
+                    if cfg.normalize_in_loss:
+                        # m_normalize_columns by linearity: K(U/c) =
+                        # (K U)/c — no re-application of the operators.
+                        c = jnp.sqrt(jnp.sum(U_l * Mu, axis=0) + 1e-12)
+                        U_l, Ku, Mu = U_l / c, Ku / c, Mu / c
+                    U_slices.append(U_l)
+                    # Same terms as rayleigh_residual_orth, from the
+                    # fused products (HIGHEST: the k x k Gram feeds the
+                    # orth penalty — bf16 default would dominate it).
+                    Gm = jnp.matmul(U_l.T, Mu,
+                                    precision=jax.lax.Precision.HIGHEST)
+                    lam_l = (jnp.sum(U_l * Ku, axis=0)
+                             / (jnp.diagonal(Gm) + 1e-12))
+                    res = Ku - Mu * lam_l[None, :]
+                    loss_res = loss_res + jnp.mean(res**2)
+                    loss_orth = loss_orth + jnp.sum(
+                        (Gm - jnp.eye(k, dtype=U_l.dtype)) ** 2) / k
+                    lam_levels.append(lam_l)
+                    if cfg.w_zero_mean > 0:
+                        # zero_mean by symmetry: (M 1)^T U = 1^T (M U).
+                        moments = jnp.sum(Mu, axis=0)[1:]
+                        loss_res = loss_res + (cfg.w_zero_mean
+                                               / cfg.weight_residual
+                                               ) * jnp.sum(moments**2)
+                else:
+                    K, M = data["K_ops"][i], data["M_ops"][i]
+                    if cfg.normalize_in_loss:
+                        U_l = m_normalize_columns(U_l, M)
+                    U_slices.append(U_l)
+                    lam_l, res_l, orth_l = rayleigh_residual_orth(U_l, K,
+                                                                  M)
+                    lam_levels.append(lam_l)
+                    loss_res = loss_res + res_l
+                    loss_orth = loss_orth + orth_l
+                    if cfg.w_zero_mean > 0:
+                        loss_res = loss_res + (cfg.w_zero_mean
+                                               / cfg.weight_residual
+                                               ) * zero_mean(U_l, M)
                 if cfg.weight_projection > 0 and i >= 1:
                     loss_proj = loss_proj + projection(
                         U_l, data["Pt_ops"][i - 1], U_slices[i - 1])
-                if cfg.w_zero_mean > 0:
-                    loss_res = loss_res + (cfg.w_zero_mean
-                                           / cfg.weight_residual
-                                           ) * zero_mean(U_l, M)
             lam0 = lam_levels[0]
             loss_trace = trace_loss(lam0)
             loss_order = ordering(lam0)

@@ -383,3 +383,56 @@ def test_timing_probe_does_not_perturb_results(small_hierarchy):
     # they were included (epochs_run/wall_time derived rates depend on
     # this; generous bound for CI noise).
     assert r1.wall_time < r0.wall_time * 1.8
+
+
+def _fused_vs_per_level(h, **extra):
+    cfg_kw = dict(epochs=40, scan_chunk=10, scale_ramp_epochs=20, **extra)
+    r_per = MultigridTrainer(
+        small_config(fuse_level_ops=False, **cfg_kw)).train(h)
+    r_fused = MultigridTrainer(
+        small_config(fuse_level_ops=True, **cfg_kw)).train(h)
+    # Fusion engaged (the hierarchy cached the block-diagonal ops).
+    assert getattr(h, "_fused_ops", None) is not None
+    # Same math, different summation order: tolerances cover the
+    # reassociation noise of 40 epochs (no time to amplify).
+    np.testing.assert_allclose(r_fused.history["loss"],
+                               r_per.history["loss"],
+                               rtol=2e-3, atol=1e-6)
+    np.testing.assert_allclose(r_fused.eigenvalues, r_per.eigenvalues,
+                               rtol=5e-3, atol=1e-5)
+
+
+def test_fused_level_ops_match_per_level(small_hierarchy):
+    """cfg.fuse_level_ops (one block-diagonal SpMM over all levels)
+    reproduces the per-level loss trajectory exactly (to reassociation
+    noise) on the default loss path."""
+    _fused_vs_per_level(small_hierarchy)
+
+
+@pytest.mark.slow
+def test_fused_level_ops_match_with_loss_options(small_hierarchy):
+    """Fused path parity on the option-heavy loss: normalize-in-loss
+    (linearity rescaling), zero-mean (column sums of the fused M U), and
+    the projection term."""
+    _fused_vs_per_level(small_hierarchy, normalize_in_loss=True,
+                        w_zero_mean=0.5, weight_projection=0.1)
+
+
+@pytest.mark.slow
+def test_fused_level_ops_banded_format(coarse1_mesh):
+    """The fused block-diagonal operator also builds from banded
+    (RollingBanded/BSR) per-level operators and matches the per-level
+    banded loss."""
+    h = build_hierarchy(coarse1_mesh, [64, 120], n_modes=4,
+                        sampler_type="farthest_point", pc_neighbors=15,
+                        operator_format="auto")
+    cfg_kw = dict(n_modes=4, epochs=40, scan_chunk=10,
+                  scale_ramp_epochs=20)
+    r_per = MultigridTrainer(
+        small_config(fuse_level_ops=False, **cfg_kw)).train(h)
+    r_fused = MultigridTrainer(
+        small_config(fuse_level_ops=True, **cfg_kw)).train(h)
+    assert getattr(h, "_fused_ops", None) is not None
+    np.testing.assert_allclose(r_fused.history["loss"],
+                               r_per.history["loss"],
+                               rtol=2e-3, atol=1e-6)
