@@ -635,16 +635,15 @@ def run_phase(name: str, out_path: str, budget_s: float,
 
 
 _CHILD = None
-_FINAL_PRINTED = False
 
 
 def emit(note: str = "") -> None:
-    global _FINAL_PRINTED
+    # Idempotent by design: every call prints the freshest assembled
+    # line; the driver takes the LAST parseable stdout line.
     bunny = read_json(os.path.join(OUT_DIR, "bunny.json"))
     large = read_json(os.path.join(OUT_DIR, "large.json"))
     xl = read_json(os.path.join(OUT_DIR, "xl.json"))
     print(assemble_line(bunny, large, note, xl=xl), flush=True)
-    _FINAL_PRINTED = True
 
 
 def supervise() -> None:

@@ -105,7 +105,14 @@ def warmup_transfer_async() -> None:
     if _WARMUP_STARTED:
         return
     _WARMUP_STARTED = True
-    skip_warm = _os.environ.get("EIGENPINNS_NO_WARMUP") == "1"
+    if _os.environ.get("EIGENPINNS_NO_WARMUP") == "1":
+        # Full opt-out: no background thread at all. The point of the
+        # flag is to guarantee no device operation is in flight at
+        # interpreter exit (PJRT teardown aborts on one) — starting a
+        # thread that "only" configures the compile cache still
+        # initializes the backend off-thread, recreating the hazard.
+        _enable_persistent_compile_cache()
+        return
 
     def _warm():
         # The cache config probes jax.default_backend(), which

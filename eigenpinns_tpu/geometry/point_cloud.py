@@ -488,6 +488,10 @@ def point_cloud_laplacian(
     (docs/PARITY.md has the full tuning ledger: weighting schemes, flip
     ablation, 2-D kn scan, PCA-centering variants).
     """
+    if cover not in ("paired", "tufted"):
+        # Validate BEFORE the triangulation — the dominant preprocessing
+        # cost at large N (minutes at 300k+).
+        raise ValueError(f"unknown cover {cover!r}")
     points = np.asarray(points, dtype=np.float64)
     if frame_neighbors is None:
         frame_neighbors = min(n_neighbors, 34)
@@ -509,8 +513,6 @@ def point_cloud_laplacian(
         tris, weights = local_triangulations(
             points, n_neighbors=n_neighbors, return_weights=True,
             frame_neighbors=frame_neighbors)
-    if cover not in ("paired", "tufted"):
-        raise ValueError(f"unknown cover {cover!r}")
     flips = "tufted" if cover == "tufted" else "auto"
     return cotan_laplacian_from_soup(points, tris, mollify_factor,
                                      tri_weights=weights,

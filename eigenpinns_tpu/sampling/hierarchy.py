@@ -103,7 +103,7 @@ class Hierarchy:
             K_op = _banded(K_blk)
         else:
             K_op = as_operator(K_blk, dtype=dtype)
-        if all(hasattr(op, "diag") for op in self.M_ops):
+        if all(isinstance(op, Diagonal) for op in self.M_ops):
             M_op = Diagonal(jnp.concatenate(
                 [op.diag for op in self.M_ops]).astype(dtype))
         else:

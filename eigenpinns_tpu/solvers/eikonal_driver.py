@@ -142,7 +142,12 @@ def solve_eikonal(
 
         g_r = jax.vmap(jax.grad(r_e), in_axes=(None, 0, 0))(
             params, faces[e_idx], Bs[e_idx])
-        tr_r = sq_sum(g_r)
+        # ntk_batch is a COST knob: the sampled sum estimates the trace
+        # of the element_batch-face batch the residual loss actually
+        # trains on, so rescale by element_batch/ntk_batch — otherwise
+        # shrinking ntk_batch would systematically over-weight w_r
+        # instead of only adding estimator variance.
+        tr_r = sq_sum(g_r) * (element_batch / ntk_batch)
         return tr_u, tr_r
 
     def step(state: EikState, epoch):

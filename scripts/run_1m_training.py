@@ -63,8 +63,9 @@ res = train_joint(
     timing_chunks=3)
 train_s = time.time() - t0
 
-steady = res.chunk_times[1:]
-per_chunk = sorted(e / t for e, t in steady)[len(steady) // 2]
+from bench import median_chunk_rate  # guards the 1-chunk case
+
+per_chunk = median_chunk_rate(res.chunk_times)
 steps = res.steady_steps_per_sec or per_chunk
 
 # bench.py's step-FLOP convention: operator slots (fwd + VJP), MLP
