@@ -125,8 +125,6 @@ def warmup_transfer_async() -> None:
         # cache, but any device op serializes on the same backend init,
         # so in practice the config lands first.
         _enable_persistent_compile_cache()
-        if skip_warm:
-            return
         try:
             import numpy as np
             import jax
