@@ -86,6 +86,10 @@ class Config:
     checkpoint_dir: str = ""
     mesh_shape: list = dataclasses.field(default_factory=list)  # device mesh
     profile_dir: str = ""
+    corrector_compute_dtype: str = ""  # '' = f32; 'bfloat16' runs the
+                                       # corrector MLP matmuls in bf16
+                                       # (params/outputs stay f32) — the
+                                       # MLP dominates small-N step FLOPs
     fuse_level_ops: bool = True  # multigrid loss: ONE block-diagonal SpMM
                                  # over all levels instead of per-level
                                  # dispatches (single-device path only;

@@ -32,6 +32,8 @@ class SimpleCorrector(nn.Module):
     hidden: Sequence[int]
     out_dim: int
     dropout: float = 0.0
+    compute_dtype: str | None = None  # e.g. 'bfloat16' MXU passes; params
+                                      # and outputs stay f32 (models/mlp.py)
 
     @nn.compact
     def __call__(self, x, graph, deterministic: bool = True):
@@ -45,7 +47,8 @@ class SimpleCorrector(nn.Module):
             agg = neighbor_mean(graph, x)
         h = jnp.concatenate([x, agg], axis=1)
         return MLP(self.hidden, self.out_dim, activation="relu",
-                   dropout=self.dropout, small_output_init=True)(
+                   dropout=self.dropout, small_output_init=True,
+                   compute_dtype=self.compute_dtype)(
                        h, deterministic=deterministic)
 
 
@@ -55,13 +58,15 @@ class SpectralCorrector(nn.Module):
     hidden: Sequence[int]
     out_dim: int
     dropout: float = 0.0
+    compute_dtype: str | None = None
 
     @nn.compact
     def __call__(self, x, a_norm, deterministic: bool = True):
         agg = spmm(a_norm, x)
         h = jnp.concatenate([x, agg], axis=1)
         return MLP(self.hidden, self.out_dim, activation="relu",
-                   dropout=self.dropout, small_output_init=True)(
+                   dropout=self.dropout, small_output_init=True,
+                   compute_dtype=self.compute_dtype)(
                        h, deterministic=deterministic)
 
 
@@ -72,10 +77,12 @@ class AdaptiveCorrector(nn.Module):
     out_dim: int
     dropout: float = 0.0
     scale_init: float = 0.01
+    compute_dtype: str | None = None
 
     @nn.compact
     def __call__(self, x, graph, deterministic: bool = True):
-        corr = SimpleCorrector(self.hidden, self.out_dim, self.dropout)(
+        corr = SimpleCorrector(self.hidden, self.out_dim, self.dropout,
+                               self.compute_dtype)(
             x, graph, deterministic=deterministic)
         scales = self.param(
             "mode_scales",
@@ -86,16 +93,21 @@ class AdaptiveCorrector(nn.Module):
 
 
 def make_corrector(model_type: str, hidden: Sequence[int], out_dim: int,
-                   dropout: float = 0.0):
+                   dropout: float = 0.0, compute_dtype: str | None = None):
     """Factory mirroring the reference's model_type switch
-    (src/multigrid_model.py:203-216 + 'adaptive' notebook variant)."""
+    (src/multigrid_model.py:203-216 + 'adaptive' notebook variant).
+    `compute_dtype` casts the MLP matmuls (e.g. 'bfloat16'); parameters
+    and outputs stay f32."""
     model_type = model_type.lower()
     if model_type == "simple":
-        return SimpleCorrector(tuple(hidden), out_dim, dropout)
+        return SimpleCorrector(tuple(hidden), out_dim, dropout,
+                               compute_dtype)
     if model_type == "spectral":
-        return SpectralCorrector(tuple(hidden), out_dim, dropout)
+        return SpectralCorrector(tuple(hidden), out_dim, dropout,
+                                 compute_dtype)
     if model_type == "adaptive":
-        return AdaptiveCorrector(tuple(hidden), out_dim, dropout)
+        return AdaptiveCorrector(tuple(hidden), out_dim, dropout,
+                                 compute_dtype=compute_dtype)
     raise ValueError(
         f"model_type must be 'simple', 'spectral' or 'adaptive', "
         f"got '{model_type}'")

@@ -178,7 +178,9 @@ class MultigridTrainer:
         n_total = feats.shape[0]
 
         model = make_corrector(cfg.model_type, cfg.hidden_layers, k,
-                               cfg.dropout)
+                               cfg.dropout,
+                               compute_dtype=(cfg.corrector_compute_dtype
+                                              or None))
         if cfg.model_type.lower() == "spectral":
             graph = gcn_normalized_adjacency(edges_np, n_total)
         else:

@@ -436,3 +436,19 @@ def test_fused_level_ops_banded_format(coarse1_mesh):
     np.testing.assert_allclose(r_fused.history["loss"],
                                r_per.history["loss"],
                                rtol=2e-3, atol=1e-6)
+
+
+def test_corrector_bf16_compute_trains(small_hierarchy):
+    """cfg.corrector_compute_dtype='bfloat16' runs the corrector MLP
+    matmuls in bf16 (params/outputs stay f32): training stays finite and
+    tracks the f32 run's early trajectory."""
+    cfg_kw = dict(epochs=30, scan_chunk=10, scale_ramp_epochs=20)
+    r32 = MultigridTrainer(small_config(**cfg_kw)).train(small_hierarchy)
+    rbf = MultigridTrainer(small_config(
+        corrector_compute_dtype="bfloat16", **cfg_kw)
+    ).train(small_hierarchy)
+    assert np.isfinite(rbf.history["loss"]).all()
+    assert np.isfinite(rbf.eigenvalues).all()
+    # bf16 matmuls perturb, not derail: same order of magnitude early on.
+    np.testing.assert_allclose(rbf.history["loss"][:10],
+                               r32.history["loss"][:10], rtol=0.2)
