@@ -294,10 +294,16 @@ def test_multigrid_sharded_matches_single_device(small_hierarchy):
     both it and the post-train Rayleigh-Ritz eigenvalues of the LEARNED
     subspace amplify psum summation-order noise through training chaos,
     so both get the 1e-2 bound (a 1e-3 trajectory bound was flaky:
-    failed-then-passed on identical reruns, ADVICE r3)."""
+    failed-then-passed on identical reruns, ADVICE r3).
+
+    fuse_level_ops is pinned OFF on both sides: the sharded loop is
+    per-level by construction, and comparing it against the (default)
+    fused single-device math adds a second reassociation source that
+    pushed the worst refined mode past the bound (4.8% observed once in
+    a full-suite run). Fused-vs-per-level equality has its own tests."""
     cfg = small_config(epochs=120, polish_iters=0,
                        loss_mxu_precision="highest",
-                       weight_projection=0.1)
+                       weight_projection=0.1, fuse_level_ops=False)
     r1 = MultigridTrainer(cfg).train(small_hierarchy)
     r8 = MultigridTrainer(cfg).train(small_hierarchy, n_devices=8)
     l1 = np.asarray(r1.history["loss"])
@@ -324,7 +330,8 @@ def test_multigrid_sharded_banded_and_spectral(coarse1_mesh):
                         sampler_type="farthest_point", pc_neighbors=15,
                         operator_format="auto")
     cfg = small_config(n_modes=4, epochs=80, polish_iters=0,
-                       loss_mxu_precision="highest")
+                       loss_mxu_precision="highest",
+                       fuse_level_ops=False)  # same-math premise (above)
     r1 = MultigridTrainer(cfg).train(h)
     r8 = MultigridTrainer(cfg).train(h, n_devices=8)
     l1 = np.asarray(r1.history["loss"])
@@ -333,7 +340,8 @@ def test_multigrid_sharded_banded_and_spectral(coarse1_mesh):
 
     cfg_sp = small_config(n_modes=4, epochs=40, polish_iters=0,
                           model_type="spectral",
-                          loss_mxu_precision="highest")
+                          loss_mxu_precision="highest",
+                          fuse_level_ops=False)
     r1s = MultigridTrainer(cfg_sp).train(h)
     r8s = MultigridTrainer(cfg_sp).train(h, n_devices=8)
     l1s = np.asarray(r1s.history["loss"])
