@@ -400,8 +400,12 @@ def build_hierarchy(
         K_ops = banded_ops
         M_ops = []
         for i, M in enumerate(M_sp):
+            from eigenpinns_tpu.sparse.formats import Diagonal
+
             op = as_operator(M, dtype=dtype)
-            if not hasattr(op, "diag"):
+            if not isinstance(op, Diagonal):
+                # (isinstance, not hasattr(op, 'diag'): BSRTile also has
+                # a .diag field — the trap fixed in fused_level_ops.)
                 # Consistent (non-lumped) mass: same format + SAME
                 # (already-applied) permutation as that level's K — FEM
                 # K and M share a sparsity pattern.
