@@ -90,11 +90,15 @@ class Config:
                                        # corrector MLP matmuls in bf16
                                        # (params/outputs stay f32) — the
                                        # MLP dominates small-N step FLOPs
-    fuse_level_ops: bool = True  # multigrid loss: ONE block-diagonal SpMM
-                                 # over all levels instead of per-level
-                                 # dispatches (single-device path only;
-                                 # falls back per-level when the fused
-                                 # operator cannot be built)
+    fuse_level_ops: bool | None = None  # multigrid loss: ONE block-diagonal
+                                 # SpMM over all levels instead of per-level
+                                 # dispatches. None = auto: fused on the
+                                 # single-device path, per-level on the
+                                 # sharded path (which has no fused kernel —
+                                 # its per-level halo layouts are the
+                                 # fusion). Explicit True on a sharded run
+                                 # warns loudly; falls back per-level when
+                                 # the fused operator cannot be built.
     loss_mxu_precision: str = "high"  # banded SpMM passes INSIDE the loss:
                                       # 'high' = bf16x3 (~1e-5 rel err,
                                       # 1.4x faster), 'highest' = f32,

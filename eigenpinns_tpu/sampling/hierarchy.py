@@ -59,8 +59,12 @@ class Hierarchy:
     coarse_eigenvalues: np.ndarray
     perms: list[np.ndarray] | None = None  # per-level RCM permutations
                                            # (banded format); None = identity
+    build_max_bandwidth: int = 4096   # the rolling-band cap the per-level
+                                      # ops were built with; fused_level_ops
+                                      # defaults to the same cap
 
-    def fused_level_ops(self, dtype=jnp.float32, max_bandwidth: int = 4096):
+    def fused_level_ops(self, dtype=jnp.float32,
+                        max_bandwidth: int | None = None):
         """Block-diagonal (K, M) device operators over the concatenated
         level node axis.
 
@@ -70,12 +74,20 @@ class Hierarchy:
         dispatches — one kernel launch instead of n_levels, forward AND
         in the VJP. Levels keep their already-applied per-level ordering,
         so row ranges still line up with the trainer's node offsets.
-        Result is cached on the instance (operators are build-once, like
-        K_ops/M_ops — see module docstring).
+        Result is cached on the instance per (dtype, max_bandwidth)
+        (operators are build-once, like K_ops/M_ops — see module
+        docstring); `max_bandwidth=None` inherits the cap the per-level
+        ops were built with.
         """
-        cached = getattr(self, "_fused_ops", None)
-        if cached is not None:
-            return cached
+        if max_bandwidth is None:
+            max_bandwidth = self.build_max_bandwidth
+        key = (jnp.dtype(dtype).name, int(max_bandwidth))
+        cache = getattr(self, "_fused_ops", None)
+        if cache is None:
+            cache = {}
+            self._fused_ops = cache
+        if key in cache:
+            return cache[key]
         import scipy.sparse as sp
 
         from eigenpinns_tpu.sparse.bsr import BSRTile
@@ -113,8 +125,8 @@ class Hierarchy:
                 M_op = _banded(M_blk)
             else:
                 M_op = as_operator(M_blk, dtype=dtype)
-        self._fused_ops = (K_op, M_op)
-        return self._fused_ops
+        cache[key] = (K_op, M_op)
+        return cache[key]
 
     def to_original_order(self, U_finest: np.ndarray) -> np.ndarray:
         """Map finest-level rows back to the input mesh's vertex order
@@ -239,6 +251,7 @@ class Hierarchy:
             meshes=[mesh], indices_per_level=indices,
             coarse_eigenvalues=dense["coarse_eigenvalues"],
             perms=perms,
+            build_max_bandwidth=max_bandwidth,
         )
 
     @property
@@ -456,4 +469,5 @@ def build_hierarchy(
         meshes=meshes, indices_per_level=list(indices),
         coarse_eigenvalues=np.asarray(vals0),
         perms=perms,
+        build_max_bandwidth=max_bandwidth,
     )

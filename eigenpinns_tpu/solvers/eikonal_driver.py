@@ -117,8 +117,12 @@ def solve_eikonal(
         return total, {"loss": total, "data": loss_u, "res": loss_r}
 
     def ntk_traces(params, key):
-        """Diagonal NTK traces of the two loss terms: sums of squared
-        per-example parameter gradients."""
+        """Diagonal NTK traces of the two loss terms, in the MEAN
+        convention: both losses are means over their batches, so each
+        trace is the batch-mean of squared per-example parameter
+        gradients (sum-convention traces would leave a residual
+        n_data/element_batch imbalance in the balanced gradient-flow
+        rates — ADVICE r4)."""
 
         def sq_sum(tree):
             return sum(jnp.sum(g**2)
@@ -129,7 +133,7 @@ def solve_eikonal(
 
         g_u = jax.vmap(jax.grad(u_i), in_axes=(None, 0))(
             params, enc[data_idx])
-        tr_u = sq_sum(g_u)
+        tr_u = sq_sum(g_u) / data_idx.shape[0]
 
         e_idx = jax.random.randint(key, (ntk_batch,), 0, n_faces)
 
@@ -142,12 +146,12 @@ def solve_eikonal(
 
         g_r = jax.vmap(jax.grad(r_e), in_axes=(None, 0, 0))(
             params, faces[e_idx], Bs[e_idx])
-        # ntk_batch is a COST knob: the sampled sum estimates the trace
-        # of the element_batch-face batch the residual loss actually
-        # trains on, so rescale by element_batch/ntk_batch — otherwise
-        # shrinking ntk_batch would systematically over-weight w_r
-        # instead of only adding estimator variance.
-        tr_r = sq_sum(g_r) * (element_batch / ntk_batch)
+        # ntk_batch is a COST knob: the ntk_batch-sample mean estimates
+        # the batch-mean trace of the element_batch-face batch the
+        # residual loss actually trains on; in the mean convention the
+        # element_batch factor cancels, so shrinking ntk_batch only adds
+        # estimator variance, never bias.
+        tr_r = sq_sum(g_r) / ntk_batch
         return tr_u, tr_r
 
     def step(state: EikState, epoch):

@@ -15,14 +15,21 @@ from scipy.sparse.linalg import eigsh
 from eigenpinns_tpu.geometry import assemble_stiffness_mass, point_cloud_laplacian
 
 
-def eigsh_smallest(K, M, k: int, sigma: float = -0.01):
+def eigsh_smallest(K, M, k: int, sigma: float = -0.01, seed: int = 0):
     """Smallest-k generalized eigenpairs via shift-invert ARPACK.
 
     Functionally `eigsh(K, k, M, which='SM')` (src/utils.py:175) but in
     shift-invert mode, which converges orders of magnitude faster for the
     smallest end of Laplacian spectra.
+
+    The Lanczos start vector ``v0`` is seeded (SURVEY section 5
+    deterministic-seed test mode): ARPACK otherwise randomizes it per
+    process, which made every downstream consumer — coarse-grid solves,
+    the multichip dryrun's CGC initialization — differ run to run even
+    with every explicit RNG pinned.
     """
-    vals, vecs = eigsh(K, k=k, M=M, sigma=sigma, which="LM")
+    v0 = np.random.default_rng(seed).standard_normal(K.shape[0])
+    vals, vecs = eigsh(K, k=k, M=M, sigma=sigma, which="LM", v0=v0)
     order = np.argsort(vals)
     return vals[order], vecs[:, order]
 
