@@ -77,6 +77,11 @@ PEAK_FLOPS = (
 DEFAULT_PEAK = 197e12
 
 RC_INIT_TIMEOUT = 3  # child exit code: TPU backend init watchdog fired
+                     # (init thread still blocked — relay outage)
+RC_INIT_ERROR = 4    # child exit code: init raised an exception (often
+                     # transient UNAVAILABLE during an outage, but can
+                     # be a deterministic misconfiguration — retried
+                     # like a timeout, under the same soft-retry cap)
 
 
 def log(*args):
@@ -136,10 +141,11 @@ def child_init_backend(budget_s: float = 150.0):
         log(f"[init] devices: {box['devices']} "
             f"({time.time()-t0:.1f}s)")
         return
+    rc = RC_INIT_ERROR if "error" in box else RC_INIT_TIMEOUT
     log(f"[init] TPU backend init did not complete in {budget_s:.0f}s "
         f"({box.get('error', 'still blocked — relay outage?')}); "
-        f"giving up loudly (rc={RC_INIT_TIMEOUT})")
-    os._exit(RC_INIT_TIMEOUT)
+        f"giving up loudly (rc={rc})")
+    os._exit(rc)
 
 
 def median_chunk_rate(chunk_times) -> float:
@@ -591,14 +597,18 @@ def run_phase(name: str, out_path: str, budget_s: float,
     """Run one phase child under a hard timeout; up to 2 attempts.
 
     Returns True if the child exited 0. A child that exits
-    RC_INIT_TIMEOUT (TPU init watchdog, ~150 s each) is retried for as
-    long as the deadline allows — relay outages clear in windows, and a
-    cheap init probe is the right thing to keep knocking with. Real
-    failures/timeouts get at most 2 attempts. The child is SIGKILLed on
-    timeout (the next child opens a fresh single-client connection)."""
+    RC_INIT_TIMEOUT / RC_INIT_ERROR (TPU init watchdog, ~150 s each) is
+    retried while the deadline allows — relay outages clear in windows,
+    and a cheap init probe is the right thing to keep knocking with —
+    but capped at 10 soft retries so a DETERMINISTIC init failure (bad
+    platform pin, broken plugin) cannot starve later phases of the
+    whole deadline. Real failures/timeouts get at most 2 attempts. The
+    child is SIGKILLed on timeout (the next child opens a fresh
+    single-client connection)."""
     hard_attempts = 0
+    soft_attempts = 0
     attempt = 0
-    while hard_attempts < 2:
+    while hard_attempts < 2 and soft_attempts < 10:
         attempt += 1
         remaining = deadline - time.monotonic()
         if remaining < 60:
@@ -625,10 +635,12 @@ def run_phase(name: str, out_path: str, budget_s: float,
             f"in {time.time()-t0:.1f}s")
         if rc == 0:
             return True
-        if rc != RC_INIT_TIMEOUT:
+        if rc in (RC_INIT_TIMEOUT, RC_INIT_ERROR):
+            soft_attempts += 1
+        else:
             hard_attempts += 1
-        backoff = 45 if rc == RC_INIT_TIMEOUT else 20
-        if hard_attempts < 2:
+        backoff = 45 if rc in (RC_INIT_TIMEOUT, RC_INIT_ERROR) else 20
+        if hard_attempts < 2 and soft_attempts < 10:
             log(f"[supervisor] {name}: backing off {backoff}s before retry")
             time.sleep(min(backoff, max(0, deadline - time.monotonic())))
     return os.path.exists(out_path)  # partial progressive result counts

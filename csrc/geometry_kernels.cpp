@@ -592,16 +592,25 @@ int64_t epk_delaunay_flips(const double* pts, int64_t n_pts,
     tri_eid[3 * t1] = eid;
     tri_eid[3 * t2] = eid;
 
-    auto rewire = [&](int64_t e, int64_t old_t, Side ns) {
+    // Match the old side by EXACT (triangle, corner) — triangle alone
+    // is ambiguous when both sides of an edge live on one triangle
+    // (possible after nonmanifold/tufted gluing), and the Python
+    // reference path matches the exact side; the two must stay
+    // bit-identical for delaunay_flips="auto" determinism.
+    auto rewire = [&](int64_t e, Side old_s, Side ns) {
       if (e < 0) return;
       for (int i = 0; i < 2; ++i)
-        if (sides2[2 * e + i].t == old_t) { sides2[2 * e + i] = ns; break; }
+        if (sides2[2 * e + i].t == old_s.t &&
+            sides2[2 * e + i].c == old_s.c) {
+          sides2[2 * e + i] = ns;
+          break;
+        }
       tri_eid[3 * ns.t + ns.c] = e;
     };
-    rewire(e_pc, t1, Side{t1, 2});
-    rewire(e_pd, t2, Side{t1, 1});
-    rewire(e_qc, t1, Side{t2, 2});
-    rewire(e_qd, t2, Side{t2, 1});
+    rewire(e_pc, Side{t1, (c1 + 2) % 3}, Side{t1, 2});
+    rewire(e_pd, Side{t2, iq2}, Side{t1, 1});
+    rewire(e_qc, Side{t1, (c1 + 1) % 3}, Side{t2, 2});
+    rewire(e_qd, Side{t2, ip2}, Side{t2, 1});
     ++n_flips;
     int64_t touched[5] = {eid, e_pc, e_pd, e_qc, e_qd};
     for (int i = 0; i < 5; ++i) {

@@ -261,7 +261,12 @@ def solve_deflation_adaptive(
         restricted to the B sampled rows, and inner products are scaled
         by N/B so they estimate the full quantities. At
         ``minibatch=None`` (full batch) this reduces to the reference
-        exactly.
+        exactly. COST NOTE: because u and the SpMMs are evaluated on
+        the full cloud for every one of the N/B batch steps, one epoch
+        costs ~N/B full-batch evaluations — ``minibatch`` buys gradient
+        noise (the stochasticity the notebook's variant relies on to
+        escape stalls), NOT speed. Shrink ``epochs`` alongside
+        ``minibatch`` if wall-time matters.
       * stored modes are M-normalized before entering the deflation
         penalty; `min_epochs_between` adds a short cooldown so one flat
         stretch cannot double-trigger (the reference gates only on

@@ -18,12 +18,19 @@ import time
 import numpy as np
 import scipy.sparse as sp
 
+# bench.py lives at the repo root, not on scripts/'s sys.path[0] — same
+# bootstrap as every sibling script. Must come before `from bench import`
+# or the whole training run is lost to a ModuleNotFoundError afterwards.
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
 import eigenpinns_tpu
 
 eigenpinns_tpu.warmup_transfer_async()
 import jax
 import jax.numpy as jnp
 
+from bench import make_cloud, median_chunk_rate, peak_flops_for
 from eigenpinns_tpu.solvers.direct import train_joint
 from eigenpinns_tpu.sparse import BSRTile, Diagonal
 
@@ -36,14 +43,9 @@ L = sp.csr_matrix((d["data"], d["indices"], d["indptr"]), shape=(N, N))
 m_diag = d["m"]
 vals_o = np.load(os.path.join(CACHE, "oracle1m.npz"))["vals"]
 
-# The 1M cloud is deterministic (same generator as the solver runs).
-rng = np.random.default_rng(0)
-theta = rng.uniform(0, 2 * np.pi, N)
-phi = np.arccos(rng.uniform(-1, 1, N))
-r = 1.0 + 0.3 * np.sin(3 * theta) * np.sin(2 * phi)
-X = (r[:, None] * np.stack([np.sin(phi) * np.cos(theta),
-                            np.sin(phi) * np.sin(theta),
-                            np.cos(phi)], 1)).astype(np.float32)
+# The 1M cloud is deterministic (bench.make_cloud, seed 0 — the same
+# generator the solver runs and phase_xl use).
+X = make_cloud(N).astype(np.float32)
 
 t0 = time.time()
 K_op, perm = BSRTile.from_scipy(L)
@@ -63,8 +65,6 @@ res = train_joint(
     timing_chunks=3)
 train_s = time.time() - t0
 
-from bench import median_chunk_rate  # guards the 1-chunk case
-
 per_chunk = median_chunk_rate(res.chunk_times)
 steps = res.steady_steps_per_sec or per_chunk
 
@@ -77,7 +77,7 @@ step_flops = (2 * (2.0 * data_elems * K_MODES)
               + 3.0 * mlp_fwd
               + 3.0 * (2.0 * N * K_MODES * K_MODES)
               + 4.0 * (2.0 * N * K_MODES))
-peak = 197e12  # v5e bf16
+peak = peak_flops_for(jax.devices()[0])
 lam = np.sort(np.asarray(res.eigenvalues))[:K_MODES]
 raw_rel = float(np.max(np.abs(lam[1:] - vals_o[1:K_MODES])
                        / np.abs(vals_o[1:K_MODES])))
