@@ -97,3 +97,28 @@ def test_write_json_is_atomic_and_readable_back(bench, tmp_path):
     bench.write_json(p, {"a": 1})
     assert bench.read_json(p) == {"a": 1}
     assert bench.read_json(str(tmp_path / "missing.json")) is None
+
+
+def test_run_phase_caps_init_retries(bench, tmp_path, monkeypatch):
+    """A child that keeps failing TPU init (rc=3/4) is retried — outage
+    windows open and close — but only up to the soft cap, so a
+    deterministic init failure cannot starve later phases of the whole
+    deadline (review r5)."""
+    import time as _time
+
+    launches = []
+
+    class FakeProc:
+        def wait(self, timeout=None):
+            return bench.RC_INIT_ERROR
+
+        def kill(self):
+            pass
+
+    monkeypatch.setattr(bench.subprocess, "Popen",
+                        lambda *a, **k: launches.append(1) or FakeProc())
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    ok = bench.run_phase("bunny", str(tmp_path / "bunny.json"),
+                         budget_s=100, deadline=_time.monotonic() + 10_000)
+    assert ok is False
+    assert len(launches) == 10  # soft cap, not deadline exhaustion
