@@ -14,6 +14,11 @@ import time
 
 import numpy as np
 
+# Repo-root bootstrap (same as every sibling script): the package is
+# run from the source tree, not installed.
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
 K_TOTAL = int(os.environ.get("K_TOTAL", "50"))
 ORACLE_K = int(os.environ.get("ORACLE_K", "50"))
 N = int(os.environ.get("N", "1000000"))
