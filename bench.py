@@ -390,7 +390,11 @@ def phase_large(out_path: str, n: int = 300_000, k: int = 20) -> None:
     # Production config at k=20 (what build_hierarchy picks): rolling-
     # window band + loss_mxu_precision='bf16' — A/B'd at this exact
     # workload: identical raw AND polished accuracy vs 'high', +25%
-    # steps/s (docs/PARITY.md).
+    # steps/s (docs/PARITY.md). mlp_compute_dtype='bfloat16' per the
+    # round-5 A/B pair at THIS scale (the MLP is ~95% of step FLOPs):
+    # +46% steps/s (docs/captures/r5/ab_300k_mlp_dtype.json) with
+    # composite accuracy within 3% of f32 through the LOBPCG polish
+    # (ab_300k_dtype_accuracy.json); matches phase_xl's dtype.
     t0 = time.time()
     K_tr, perm_tr = RollingBanded.from_scipy(L, max_bandwidth=8192)
     M_tr = Diagonal(jnp.asarray(M.diagonal()[perm_tr], jnp.float32))
@@ -402,7 +406,8 @@ def phase_large(out_path: str, n: int = 300_000, k: int = 20) -> None:
         mode="penalty", epochs=300, scan_chunk=50,
         w_res=1.0, w_orth=1000.0, w_trace=0.05,
         lr_start=2e-3, lr_end=2e-4, seed=0, rayleigh_ritz_finish=False,
-        loss_mxu_precision="bf16", timing_chunks=4)
+        loss_mxu_precision="bf16", mlp_compute_dtype="bfloat16",
+        timing_chunks=4)
     steps = res.steady_steps_per_sec
     steps_per_chunk = median_chunk_rate(res.chunk_times)
     # Training-step FLOP accounting (VERDICT r3 item 7): dominant terms
@@ -430,6 +435,39 @@ def phase_large(out_path: str, n: int = 300_000, k: int = 20) -> None:
     })
     write_json(out_path, payload)
 
+    # --- composite accuracy vs eigsh oracle (training + LOBPCG polish) ---
+    # The production accuracy path at scale is the COMPOSITE: the trained
+    # subspace warm-starts the on-device LOBPCG (docs/PARITY.md round-2
+    # re-measurement: 400 epochs + 200 polish iters -> 4.1e-4 max rel
+    # err). The oracle file is built once by scripts/ab_300k_mlp_dtype.py
+    # (host eigsh); when present, this converts the accuracy-at-300k
+    # claim from self-reported to driver-captured. Guarded by phase
+    # budget so it can never starve the k=128 probe's slot entirely.
+    orc = os.path.join(HERE, f".cache_{n//1000}k_direct_oracle.npz")
+    if os.path.exists(orc) and k == 20 and time.time() - _phase_t0 < 400:
+        vals_o = np.load(orc)["vals"]
+        lam_raw = np.sort(np.asarray(res.eigenvalues))[:k]
+        payload["raw_lambda_max_rel_err_vs_oracle"] = round(float(np.max(
+            np.abs(lam_raw[1:] - vals_o[1:k]) / np.abs(vals_o[1:k]))), 6)
+        t0 = time.time()
+        from eigenpinns_tpu.solvers.lobpcg import lobpcg
+
+        pol = lobpcg(K_tr, M_tr, jnp.asarray(res.eigenvectors),
+                     max_iter=200, tol=1e-6)
+        lam_p = np.sort(np.asarray(pol.eigenvalues))[:k]
+        payload["polished_lambda_max_rel_err_vs_oracle"] = round(float(
+            np.max(np.abs(lam_p[1:] - vals_o[1:k])
+                   / np.abs(vals_o[1:k]))), 6)
+        payload["polish_lobpcg_iters"] = int(pol.iterations)
+        payload["polish_lobpcg_s"] = round(time.time() - t0, 1)
+        log(f"[{n//1000}k] accuracy vs oracle: raw "
+            f"{payload['raw_lambda_max_rel_err_vs_oracle']:.2e}, "
+            f"train+LOBPCG composite "
+            f"{payload['polished_lambda_max_rel_err_vs_oracle']:.2e} "
+            f"({payload['polish_lobpcg_iters']} iters, "
+            f"{payload['polish_lobpcg_s']}s)")
+        write_json(out_path, payload)
+
     # --- k=128 training probe: lane-limited vs lane-filled MFU -----------
     # Pallas/Mosaic pad the mode axis to the 128-lane tile, so a k=20
     # SpMM executes ~the same MXU passes as k=128 — the k=20 step MFU
@@ -450,7 +488,8 @@ def phase_large(out_path: str, n: int = 300_000, k: int = 20) -> None:
         mode="penalty", epochs=100, scan_chunk=50,
         w_res=1.0, w_orth=1000.0, w_trace=0.05,
         lr_start=2e-3, lr_end=2e-4, seed=0, rayleigh_ritz_finish=False,
-        loss_mxu_precision="bf16", timing_chunks=3)
+        loss_mxu_precision="bf16", mlp_compute_dtype="bfloat16",
+        timing_chunks=3)
     steps128 = res128.steady_steps_per_sec
     dims = [3, 256, 256, 256, kk]
     mlp_fwd = 2.0 * n * sum(a * b for a, b in zip(dims[:-1], dims[1:]))
@@ -547,6 +586,27 @@ def phase_xl(out_path: str, n: int = 1_000_000, k: int = 20) -> None:
         payload["raw_lambda_max_rel_err_vs_oracle"] = round(float(
             np.max(np.abs(lam[1:] - vals_o[1:k])
                    / np.abs(vals_o[1:k]))), 4)
+        # Composite accuracy: the trained subspace warm-starts the
+        # on-device LOBPCG (the production path behind the solver-grade
+        # 3.1e-4-at-1M claim) — the accuracy-at-1M evidence, bounded
+        # iteration work after the timed section.
+        t0 = time.time()
+        from eigenpinns_tpu.solvers.lobpcg import lobpcg
+
+        pol = lobpcg(K_op, M_op, jnp.asarray(res.eigenvectors),
+                     max_iter=150, tol=1e-6)
+        lam_p = np.sort(np.asarray(pol.eigenvalues))[:k]
+        payload["polished_lambda_max_rel_err_vs_oracle"] = round(float(
+            np.max(np.abs(lam_p[1:] - vals_o[1:k])
+                   / np.abs(vals_o[1:k]))), 6)
+        payload["polish_lobpcg_iters"] = int(pol.iterations)
+        payload["polish_lobpcg_s"] = round(time.time() - t0, 1)
+        log(f"[xl] accuracy vs oracle: raw "
+            f"{payload['raw_lambda_max_rel_err_vs_oracle']:.2e}, "
+            f"train+LOBPCG composite "
+            f"{payload['polished_lambda_max_rel_err_vs_oracle']:.2e} "
+            f"({payload['polish_lobpcg_iters']} iters, "
+            f"{payload['polish_lobpcg_s']}s)")
     log(f"[xl] 1M training k={k}: {steps:.1f} steps/s "
         f"(MFU {payload['step_mfu']:.3f})")
     write_json(out_path, payload)
