@@ -452,8 +452,14 @@ def phase_large(out_path: str, n: int = 300_000, k: int = 20) -> None:
         t0 = time.time()
         from eigenpinns_tpu.solvers.lobpcg import lobpcg
 
-        pol = lobpcg(K_tr, M_tr, jnp.asarray(res.eigenvectors),
-                     max_iter=200, tol=1e-6)
+        # Solve k+8 and report k: LOBPCG's edge-of-block modes converge
+        # last (composite referee: max rel err 0.30 vs mean 0.021 without
+        # guards), so the trained subspace is padded with 8 random guard
+        # columns that absorb the edge effect.
+        guards = jnp.asarray(np.random.default_rng(3).normal(
+            size=(n, 8)).astype(np.float32))
+        X0 = jnp.concatenate([jnp.asarray(res.eigenvectors), guards], 1)
+        pol = lobpcg(K_tr, M_tr, X0, max_iter=200, tol=1e-6)
         lam_p = np.sort(np.asarray(pol.eigenvalues))[:k]
         payload["polished_lambda_max_rel_err_vs_oracle"] = round(float(
             np.max(np.abs(lam_p[1:] - vals_o[1:k])
@@ -593,8 +599,11 @@ def phase_xl(out_path: str, n: int = 1_000_000, k: int = 20) -> None:
         t0 = time.time()
         from eigenpinns_tpu.solvers.lobpcg import lobpcg
 
-        pol = lobpcg(K_op, M_op, jnp.asarray(res.eigenvectors),
-                     max_iter=150, tol=1e-6)
+        # k+8 guard columns; see phase_large (edge-of-block modes).
+        guards = jnp.asarray(np.random.default_rng(3).normal(
+            size=(n, 8)).astype(np.float32))
+        X0 = jnp.concatenate([jnp.asarray(res.eigenvectors), guards], 1)
+        pol = lobpcg(K_op, M_op, X0, max_iter=150, tol=1e-6)
         lam_p = np.sort(np.asarray(pol.eigenvalues))[:k]
         payload["polished_lambda_max_rel_err_vs_oracle"] = round(float(
             np.max(np.abs(lam_p[1:] - vals_o[1:k])
