@@ -459,7 +459,11 @@ def phase_large(out_path: str, n: int = 300_000, k: int = 20) -> None:
         guards = jnp.asarray(np.random.default_rng(3).normal(
             size=(n, 8)).astype(np.float32))
         X0 = jnp.concatenate([jnp.asarray(res.eigenvectors), guards], 1)
-        pol = lobpcg(K_tr, M_tr, X0, max_iter=200, tol=1e-6)
+        # 400 iters per the guard probe (docs/captures/r5/
+        # probe_300k_lobpcg_guard.json): 200 leaves the edge modes
+        # mid-swap; 400 with q=8 guards converges at ~2/3 the cost of
+        # unguarded 400.
+        pol = lobpcg(K_tr, M_tr, X0, max_iter=400, tol=1e-6)
         lam_p = np.sort(np.asarray(pol.eigenvalues))[:k]
         payload["polished_lambda_max_rel_err_vs_oracle"] = round(float(
             np.max(np.abs(lam_p[1:] - vals_o[1:k])
@@ -603,12 +607,25 @@ def phase_xl(out_path: str, n: int = 1_000_000, k: int = 20) -> None:
         guards = jnp.asarray(np.random.default_rng(3).normal(
             size=(n, 8)).astype(np.float32))
         X0 = jnp.concatenate([jnp.asarray(res.eigenvectors), guards], 1)
-        pol = lobpcg(K_op, M_op, X0, max_iter=150, tol=1e-6)
+        # Iteration ladder (captured 2026-08-19): 150 iters -> 4.5e-1,
+        # 400 -> 9.1e-2 (48 s) — linear convergence, tol not yet hit.
+        # 2x400 with a warm restart instead of one 800-iter dispatch:
+        # a single ~96 s device execution reproducibly killed the TPU
+        # worker through the relay (two captures, same traceback), a
+        # ~48 s one never has. Restart costs a few extra iterations
+        # (the P block resets) but keeps each dispatch under the
+        # observed execution-length ceiling.
+        pol = lobpcg(K_op, M_op, X0, max_iter=400, tol=1e-6)
+        iters_total = int(pol.iterations)
+        if iters_total >= 400:
+            pol = lobpcg(K_op, M_op, pol.eigenvectors,
+                         max_iter=400, tol=1e-6)
+            iters_total += int(pol.iterations)
         lam_p = np.sort(np.asarray(pol.eigenvalues))[:k]
         payload["polished_lambda_max_rel_err_vs_oracle"] = round(float(
             np.max(np.abs(lam_p[1:] - vals_o[1:k])
                    / np.abs(vals_o[1:k]))), 6)
-        payload["polish_lobpcg_iters"] = int(pol.iterations)
+        payload["polish_lobpcg_iters"] = iters_total
         payload["polish_lobpcg_s"] = round(time.time() - t0, 1)
         log(f"[xl] accuracy vs oracle: raw "
             f"{payload['raw_lambda_max_rel_err_vs_oracle']:.2e}, "
